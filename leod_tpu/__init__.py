@@ -1,0 +1,13 @@
+"""leod_tpu: TPU-native event-camera object detection framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of LEOD
+(CVPR'24, RVT backbone + YOLOX head + label-efficient self-training),
+built TPU-first: NHWC layouts, bf16 matmuls on the MXU, `lax.scan` over
+time with explicit ConvLSTM carries, fully-batched static-shape SimOTA,
+fixed-shape NMS, and `jax.sharding`-based data parallelism.
+
+Reference behavior surveyed in SURVEY.md (citations point into
+/root/reference). This package is an independent implementation.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,117 @@
+"""RVT recurrent MaxViT backbone (reference: maxvit_rnn.py:23-201).
+
+4 stages; each = strided-conv downsample -> N x (window-attn ->
+grid-attn) -> ConvLSTM. State (h, c) per stage is threaded explicitly
+(no flax variables) so callers can `lax.scan` over time with donated
+carries and shard the state table across a device mesh.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import BackboneConfig
+from .layers import ConvDownsample, ConvLSTMCell, PartitionAttention
+
+# per-stage LSTM state: (h, c), each [B, H/s, W/s, C_stage]
+StageState = Tuple[jnp.ndarray, jnp.ndarray]
+BackboneStates = Tuple[StageState, ...]
+BackboneFeatures = Dict[int, jnp.ndarray]  # 1-indexed stage -> [B, h, w, C]
+
+
+class RVTStage(nn.Module):
+    """One backbone stage (reference: maxvit_rnn.py:142-201)."""
+    cfg: BackboneConfig
+    stage_dim: int
+    downsample_factor: int
+    num_blocks: int
+    enable_token_masking: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, state: StageState,
+                 token_mask: Optional[jnp.ndarray] = None
+                 ) -> Tuple[jnp.ndarray, StageState]:
+        c = self.cfg
+        x = ConvDownsample(self.stage_dim, self.downsample_factor,
+                           overlap=c.overlap_downsample,
+                           norm_affine=c.norm_affine, norm_eps=c.norm_eps,
+                           dtype=self.dtype, name="down")(x)
+        if self.enable_token_masking:
+            mask_token = self.param(
+                "mask_token", nn.initializers.normal(0.02),
+                (1, 1, 1, self.stage_dim))
+            if token_mask is not None:
+                x = jnp.where(token_mask[..., None], mask_token.astype(x.dtype), x)
+        for i in range(self.num_blocks):
+            # downsample output is already LayerNormed -> skip first norm
+            x = PartitionAttention(
+                self.stage_dim, c.partition_size, "window",
+                skip_first_norm=(i == 0), dim_head=c.dim_head,
+                attention_bias=c.attention_bias, mlp_ratio=c.mlp_ratio,
+                mlp_act=c.mlp_act, mlp_gated=c.mlp_gated, mlp_bias=c.mlp_bias,
+                ls_init_value=c.ls_init_value, norm_eps=c.norm_eps,
+                dtype=self.dtype, name=f"block{i}_window")(x)
+            x = PartitionAttention(
+                self.stage_dim, c.partition_size, "grid",
+                skip_first_norm=False, dim_head=c.dim_head,
+                attention_bias=c.attention_bias, mlp_ratio=c.mlp_ratio,
+                mlp_act=c.mlp_act, mlp_gated=c.mlp_gated, mlp_bias=c.mlp_bias,
+                ls_init_value=c.ls_init_value, norm_eps=c.norm_eps,
+                dtype=self.dtype, name=f"block{i}_grid")(x)
+        h, cst = ConvLSTMCell(self.stage_dim, c.lstm_dws_conv,
+                              c.lstm_dws_conv_only_hidden,
+                              c.lstm_dws_conv_kernel_size,
+                              dtype=self.dtype, name="lstm")(x, state)
+        return h, (h, cst)
+
+
+class RVTBackbone(nn.Module):
+    """Full recurrent backbone; one timestep per call
+    (reference: maxvit_rnn.py:97-115)."""
+    cfg: BackboneConfig
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, states: BackboneStates,
+                 token_mask: Optional[jnp.ndarray] = None
+                 ) -> Tuple[BackboneFeatures, BackboneStates]:
+        c = self.cfg
+        features: BackboneFeatures = {}
+        new_states: List[StageState] = []
+        for k, (dim, nblk) in enumerate(zip(c.stage_dims, c.num_blocks)):
+            factor = c.patch_size if k == 0 else 2
+            masking = c.enable_masking and k == 0
+            x, st = RVTStage(c, dim, factor, nblk,
+                             enable_token_masking=masking, dtype=self.dtype,
+                             name=f"stage{k + 1}")(
+                x, states[k], token_mask if k == 0 else None)
+            features[k + 1] = x
+            new_states.append(st)
+        return features, tuple(new_states)
+
+
+def init_states(cfg: BackboneConfig, batch_size: int,
+                dtype=jnp.float32) -> BackboneStates:
+    """Zero LSTM state pytree for `batch_size` streams."""
+    h, w = cfg.in_res_hw
+    states = []
+    for dim, stride in zip(cfg.stage_dims, cfg.stage_strides):
+        shape = (batch_size, h // stride, w // stride, dim)
+        states.append((jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)))
+    return tuple(states)
+
+
+def reset_states(states: BackboneStates, reset: jnp.ndarray) -> BackboneStates:
+    """Zero the states of batch rows where `reset` is True
+    (replaces the reference's worker-keyed RNNStates.reset,
+    modules/utils/detection.py:95-157)."""
+    keep = (~reset).astype(states[0][0].dtype)
+
+    def apply(s):
+        return s * keep.reshape((-1,) + (1,) * (s.ndim - 1))
+
+    return jax.tree.map(apply, states)

@@ -1,0 +1,324 @@
+"""Core neural layers (flax.linen, NHWC layout throughout).
+
+TPU-first re-design of the reference layer zoo: the reference keeps
+NCHW torch layouts and converts to channels-last only around attention
+(reference: models/layers/maxvit/maxvit.py, models/layers/rnn.py,
+models/detection/yolox/models/network_blocks.py). Here everything is
+NHWC so convs, attention and the ConvLSTM all hit XLA's native TPU
+layouts with no transposes.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = jnp.dtype
+
+
+def get_act(name: str) -> Callable:
+    return {
+        "silu": jax.nn.silu, "swish": jax.nn.silu, "relu": jax.nn.relu,
+        "lrelu": lambda x: jax.nn.leaky_relu(x, 0.1),
+        "gelu": jax.nn.gelu, "sigmoid": jax.nn.sigmoid, "tanh": jnp.tanh,
+    }[name]
+
+
+# ---------------------------------------------------------------------------
+# MaxViT pieces
+# ---------------------------------------------------------------------------
+
+def window_partition(x: jnp.ndarray, wh: int, ww: int) -> jnp.ndarray:
+    """[B, H, W, C] -> [B*nH*nW, wh*ww, C] (local windows)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // wh, wh, w // ww, ww, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, wh * ww, c)
+
+
+def window_reverse(x: jnp.ndarray, wh: int, ww: int, h: int, w: int) -> jnp.ndarray:
+    c = x.shape[-1]
+    x = x.reshape(-1, h // wh, w // ww, wh, ww, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, h, w, c)
+
+
+def grid_partition(x: jnp.ndarray, gh: int, gw: int) -> jnp.ndarray:
+    """[B, H, W, C] -> [B*cellH*cellW, gh*gw, C] (dilated global grid)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, gh, h // gh, gw, w // gw, c)
+    x = x.transpose(0, 2, 4, 1, 3, 5)
+    return x.reshape(-1, gh * gw, c)
+
+
+def grid_reverse(x: jnp.ndarray, gh: int, gw: int, h: int, w: int) -> jnp.ndarray:
+    c = x.shape[-1]
+    x = x.reshape(-1, h // gh, w // gw, gh, gw, c)
+    x = x.transpose(0, 3, 1, 4, 2, 5)
+    return x.reshape(-1, h, w, c)
+
+
+class SelfAttention(nn.Module):
+    """MHSA over token sequences [N, T, C] (reference: maxvit.py:328-354)."""
+    dim: int
+    dim_head: int = 32
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        num_heads = self.dim // self.dim_head
+        qkv = nn.Dense(self.dim * 3, use_bias=self.use_bias,
+                       dtype=self.dtype, name="qkv")(x)
+        n, t, _ = qkv.shape
+        qkv = qkv.reshape(n, t, num_heads, 3 * self.dim_head)
+        q, k, v = jnp.split(qkv, 3, axis=-1)                   # [N,T,h,dh]
+        attn = jnp.einsum("nqhd,nkhd->nhqk", q, k) * self.dim_head ** -0.5
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+        out = jnp.einsum("nhqk,nkhd->nqhd", attn, v).reshape(n, t, self.dim)
+        return nn.Dense(self.dim, use_bias=self.use_bias,
+                        dtype=self.dtype, name="proj")(out)
+
+
+class MLP(nn.Module):
+    """Transformer FFN; optional GLU gate (reference: maxvit.py:85-118)."""
+    dim: int
+    expansion_ratio: int = 4
+    act: str = "gelu"
+    gated: bool = False
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        act = get_act(self.act)
+        if self.gated:
+            # param-count-preserving inner dim (maxvit.py:102)
+            inner = int(self.dim * self.expansion_ratio * 2 / 3 / 32) * 32
+            h = nn.Dense(inner * 2, use_bias=self.use_bias, dtype=self.dtype,
+                         name="proj_in")(x)
+            h, gate = jnp.split(h, 2, axis=-1)
+            h = h * act(gate)
+        else:
+            inner = self.dim * self.expansion_ratio
+            h = act(nn.Dense(inner, use_bias=self.use_bias, dtype=self.dtype,
+                             name="proj_in")(x))
+        return nn.Dense(self.dim, use_bias=self.use_bias, dtype=self.dtype,
+                        name="proj_out")(h)
+
+
+class PartitionAttention(nn.Module):
+    """Pre-norm window/grid attention + FFN with LayerScale
+    (reference: maxvit.py:185-270)."""
+    dim: int
+    partition_size: Tuple[int, int]
+    partition_type: str                   # 'window' | 'grid'
+    skip_first_norm: bool = False
+    dim_head: int = 32
+    attention_bias: bool = True
+    mlp_ratio: int = 4
+    mlp_act: str = "gelu"
+    mlp_gated: bool = False
+    mlp_bias: bool = True
+    ls_init_value: float = 1e-5
+    norm_eps: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        ph, pw = self.partition_size
+
+        def ls(name):
+            if self.ls_init_value <= 0:
+                return lambda y: y
+            gamma = self.param(name, nn.initializers.constant(
+                self.ls_init_value), (self.dim,))
+            return lambda y: y * gamma.astype(y.dtype)
+
+        shortcut = x
+        y = x if self.skip_first_norm else nn.LayerNorm(
+            epsilon=self.norm_eps, dtype=self.dtype, name="norm1")(x)
+        if self.partition_type == "window":
+            t = window_partition(y, ph, pw)
+        else:
+            t = grid_partition(y, ph, pw)
+        t = SelfAttention(self.dim, self.dim_head, self.attention_bias,
+                          dtype=self.dtype, name="attn")(t)
+        if self.partition_type == "window":
+            y = window_reverse(t, ph, pw, h, w)
+        else:
+            y = grid_reverse(t, ph, pw, h, w)
+        x = shortcut + ls("ls1")(y)
+
+        y = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype,
+                         name="norm2")(x)
+        y = MLP(self.dim, self.mlp_ratio, self.mlp_act, self.mlp_gated,
+                self.mlp_bias, dtype=self.dtype, name="mlp")(y)
+        return x + ls("ls2")(y)
+
+
+class ConvDownsample(nn.Module):
+    """Overlapped strided patch embed + LayerNorm
+    (reference: maxvit.py:143-182). NHWC in and out."""
+    dim_out: int
+    factor: int
+    overlap: bool = True
+    norm_affine: bool = True
+    norm_eps: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.overlap:
+            k = (self.factor - 1) * 2 + 1
+            pad = k // 2
+        else:
+            k, pad = self.factor, 0
+        x = nn.Conv(self.dim_out, (k, k), strides=(self.factor, self.factor),
+                    padding=[(pad, pad), (pad, pad)], use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        return nn.LayerNorm(epsilon=self.norm_eps, use_bias=self.norm_affine,
+                            use_scale=self.norm_affine, dtype=self.dtype,
+                            name="norm")(x)
+
+
+# ---------------------------------------------------------------------------
+# ConvLSTM
+# ---------------------------------------------------------------------------
+
+class ConvLSTMCell(nn.Module):
+    """1x1-conv LSTM over concat(x, h) (reference: models/layers/rnn.py:37-70).
+
+    Gate layout along channels: [forget, input, output, cell_candidate].
+    Optional depthwise 3x3 on the hidden state (identity in RVT configs).
+    """
+    dim: int
+    dws_conv: bool = False
+    dws_conv_only_hidden: bool = True
+    dws_conv_kernel_size: int = 3
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 state: Tuple[jnp.ndarray, jnp.ndarray]
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        h_prev, c_prev = state
+        if self.dws_conv:
+            ks = self.dws_conv_kernel_size
+            feats = self.dim if self.dws_conv_only_hidden else 2 * self.dim
+            dw = nn.Conv(feats, (ks, ks), padding="SAME",
+                         feature_group_count=feats, dtype=self.dtype,
+                         name="dws")
+            if self.dws_conv_only_hidden:
+                h_prev = dw(h_prev)
+                xh = jnp.concatenate([x, h_prev], axis=-1)
+            else:
+                xh = dw(jnp.concatenate([x, h_prev], axis=-1))
+        else:
+            xh = jnp.concatenate([x, h_prev], axis=-1)
+        mix = nn.Conv(4 * self.dim, (1, 1), dtype=self.dtype, name="gates")(xh)
+        gates, g = jnp.split(mix, [3 * self.dim], axis=-1)
+        f, i, o = jnp.split(jax.nn.sigmoid(gates), 3, axis=-1)
+        c = f * c_prev + i * jnp.tanh(g)
+        h = o * jnp.tanh(c)
+        return h, c
+
+
+# ---------------------------------------------------------------------------
+# YOLO conv blocks (conv + BN + act)
+# ---------------------------------------------------------------------------
+
+class ConvBNAct(nn.Module):
+    """conv -> BN -> act (reference: network_blocks.py:29-54)."""
+    features: int
+    kernel: int
+    stride: int = 1
+    groups: int = 1
+    act: str = "silu"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        pad = (self.kernel - 1) // 2
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride),
+                    padding=[(pad, pad), (pad, pad)],
+                    feature_group_count=self.groups, use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn")(x)
+        return get_act(self.act)(x)
+
+
+class DWConvBlock(nn.Module):
+    """depthwise 3x3 + pointwise 1x1 (reference: network_blocks.py:57-76)."""
+    features: int
+    kernel: int
+    stride: int = 1
+    act: str = "silu"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        x = ConvBNAct(in_ch, self.kernel, self.stride, groups=in_ch,
+                      act=self.act, dtype=self.dtype, name="dconv")(x, train)
+        return ConvBNAct(self.features, 1, 1, act=self.act,
+                         dtype=self.dtype, name="pconv")(x, train)
+
+
+class Bottleneck(nn.Module):
+    """(reference: network_blocks.py:79-101)"""
+    features: int
+    shortcut: bool = True
+    expansion: float = 0.5
+    depthwise: bool = False
+    act: str = "silu"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        hidden = int(self.features * self.expansion)
+        y = ConvBNAct(hidden, 1, act=self.act, dtype=self.dtype,
+                      name="conv1")(x, train)
+        conv2 = (DWConvBlock if self.depthwise else ConvBNAct)
+        y = conv2(self.features, 3, act=self.act, dtype=self.dtype,
+                  name="conv2")(y, train)
+        if self.shortcut and x.shape[-1] == self.features:
+            y = y + x
+        return y
+
+
+class CSPLayer(nn.Module):
+    """Cross-stage-partial block (reference: network_blocks.py:104-142)."""
+    features: int
+    n: int = 1
+    shortcut: bool = True
+    expansion: float = 0.5
+    depthwise: bool = False
+    act: str = "silu"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        hidden = int(self.features * self.expansion)
+        x1 = ConvBNAct(hidden, 1, act=self.act, dtype=self.dtype,
+                       name="conv1")(x, train)
+        x2 = ConvBNAct(hidden, 1, act=self.act, dtype=self.dtype,
+                       name="conv2")(x, train)
+        for i in range(self.n):
+            x1 = Bottleneck(hidden, self.shortcut, 1.0, self.depthwise,
+                            self.act, dtype=self.dtype, name=f"m{i}")(x1, train)
+        x = jnp.concatenate([x1, x2], axis=-1)
+        return ConvBNAct(self.features, 1, act=self.act, dtype=self.dtype,
+                         name="conv3")(x, train)
+
+
+def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest 2x upsample, NHWC (equals 'nearest-exact' for integer x2)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)

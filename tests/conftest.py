@@ -3,13 +3,22 @@
 Multi-chip sharding logic is validated on CPU with
 `--xla_force_host_platform_device_count=8` (the driver separately
 dry-runs the multi-chip path; real benchmarks run on TPU).
+
+NOTE: the axon sitecustomize registers the TPU plugin at interpreter
+start and calls jax.config.update("jax_platforms", "axon,cpu"), which
+overrides JAX_PLATFORMS from the environment — so we must update the
+config AFTER importing jax, not just set env vars.
 """
 import os
 
-# Must run before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu"
+assert len(jax.devices()) == 8

@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark: RVT-B streaming inference throughput on one chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Baseline target: 2,000 event-frames/s/chip (BASELINE.md north star).
+
+Measures the full detection path the way eval runs it: lax.scan of the
+recurrent backbone over L timesteps with carried LSTM state + FPN/head
+on the final frame, bf16, Gen1 resolution (256x320 padded), batch B.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_FRAMES_PER_S = 2000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from leod_tpu.config import experiment_preset
+    from leod_tpu.models.detector import Detector
+
+    cfg = experiment_preset("gen1", "base")
+    det = Detector(cfg.model, dtype=jnp.bfloat16)
+    variables = det.init(jax.random.PRNGKey(0), batch_size=1)
+
+    B = int(os.environ.get("BENCH_BATCH", "16"))
+    L = int(os.environ.get("BENCH_SEQ_LEN", "21"))
+    h, w = cfg.model.backbone.in_res_hw
+    c = cfg.model.backbone.input_channels
+
+    def infer(variables, ev, states):
+        def body(carry, x_t):
+            feats, ns = det.forward_backbone(variables,
+                                             x_t.astype(det.dtype), carry)
+            return ns, None
+        states, _ = jax.lax.scan(body, states, ev[:-1])
+        feats, states = det.forward_backbone(
+            variables, ev[-1].astype(det.dtype), states)
+        preds, _ = det.forward_detect(variables, feats, train=False)
+        return preds, states
+
+    infer = jax.jit(infer, donate_argnums=(2,))
+    rng = jax.random.PRNGKey(1)
+    ev = (jax.random.uniform(rng, (L, B, h, w, c)) * 32).astype(jnp.uint8)
+    states = det.init_states(B)
+
+    # warmup / compile
+    preds, states = infer(variables, ev, states)
+    preds.block_until_ready()
+
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        preds, states = infer(variables, ev, states)
+    preds.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    frames_per_s = iters * B * L / dt
+    print(json.dumps({
+        "metric": "rvt_b_gen1_inference_throughput",
+        "value": round(frames_per_s, 2),
+        "unit": "event_frames_per_s_per_chip",
+        "vs_baseline": round(frames_per_s / BASELINE_FRAMES_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

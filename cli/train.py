@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Train CLI (reference entry point: train.py).
+
+Examples:
+    python cli/train.py --dataset gen1 --size base --path ./datasets/gen1
+    python cli/train.py --synthetic --size tiny --steps 50   # smoke test
+"""
+import argparse
+import dataclasses
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="gen1", choices=["gen1", "gen4"])
+    ap.add_argument("--size", default="base", choices=["tiny", "small", "base"])
+    ap.add_argument("--path", default=None, help="dataset root")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="generate a tiny synthetic dataset and train on it")
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--seq-len", type=int, default=None)
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--sampling", default=None,
+                    choices=["random", "stream", "mixed"])
+    ap.add_argument("--ratio", type=float, default=-1.0,
+                    help="WSOD label-frequency subsample ratio")
+    ap.add_argument("--train-ratio", type=float, default=-1.0,
+                    help="SSOD sequence subsample ratio")
+    ap.add_argument("--soft", action="store_true",
+                    help="self-training student config (ignore_bbox_thresh)")
+    ap.add_argument("--save-dir", default="./runs")
+    ap.add_argument("--exp-name", default="leod_tpu")
+    ap.add_argument("--val-every", type=int, default=None)
+    ap.add_argument("--max-det-frames", type=int, default=None,
+                    help="per-slot labeled-frame harvest budget")
+    ap.add_argument("--weight", default=None, help="weight-only init ckpt")
+    ap.add_argument("--checkpoint", default=None, help="full-state resume")
+    ap.add_argument("--auto-resume", action="store_true",
+                    help="resume from the newest checkpoint in the run dir")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--fp32", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from leod_tpu.config import derive, experiment_preset
+    from leod_tpu.data.synthetic import generate_dataset
+    from leod_tpu.train.trainer import Trainer
+
+    cfg = experiment_preset(args.dataset, args.size, soft=args.soft)
+    dst = cfg.dataset
+    if args.synthetic:
+        root = args.path or tempfile.mkdtemp(prefix="leod_synth_")
+        if not os.path.isdir(os.path.join(root, "train")):
+            print(f"generating synthetic dataset at {root}")
+            generate_dataset(root, num_train=4, num_val=2, num_test=2,
+                             num_reprs=64, seed=args.seed)
+        dst = dataclasses.replace(dst, path=root)
+    elif args.path:
+        dst = dataclasses.replace(dst, path=args.path)
+    if args.seq_len:
+        dst = dataclasses.replace(dst, sequence_length=args.seq_len)
+    if args.sampling:
+        dst = dataclasses.replace(dst, train_sampling=args.sampling)
+    dst = dataclasses.replace(dst, ratio=args.ratio,
+                              train_ratio=args.train_ratio)
+    tr = cfg.training
+    if args.steps:
+        tr = dataclasses.replace(tr, max_steps=args.steps)
+    if args.batch_size:
+        tr = dataclasses.replace(tr, batch_size_train=args.batch_size,
+                                 batch_size_eval=args.batch_size)
+    if args.lr:
+        tr = dataclasses.replace(tr, learning_rate=args.lr)
+    if args.val_every is not None:
+        tr = dataclasses.replace(tr, val_check_interval=args.val_every)
+    if args.max_det_frames:
+        tr = dataclasses.replace(tr, max_det_frames=args.max_det_frames)
+    cfg = derive(dataclasses.replace(cfg, dataset=dst, training=tr,
+                                     save_dir=args.save_dir,
+                                     exp_name=args.exp_name))
+
+    trainer = Trainer(cfg, dtype=jnp.float32 if args.fp32 else jnp.bfloat16)
+    state = None
+    if args.auto_resume and not args.checkpoint:
+        latest = trainer.latest_checkpoint()
+        if latest:
+            print(f"auto-resuming from {latest}")
+            args.checkpoint = latest
+    if args.checkpoint:
+        state = trainer.restore_checkpoint(
+            args.checkpoint, trainer.init_state(tr.batch_size_train, args.seed))
+    elif args.weight:
+        state = trainer.load_weights(
+            args.weight, trainer.init_state(tr.batch_size_train, args.seed))
+    final = trainer.fit(seed=args.seed, state=state)
+    print(f"done at step {int(final.step)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,354 @@
+"""Host-side batched loaders with explicit stream-slot identity.
+
+The reference leans on dataloader-worker process identity for RNN-state
+correctness (reference: data/utils/stream_concat_datapipe.py:25-103,
+stream_sharded_datapipe.py:27-117, modules/utils/detection.py:95-157).
+Here stream-slot identity is explicit: batch row b IS stream slot b, the
+device keeps one LSTM-state table with one row per slot, and every batch
+carries an `is_first` reset flag per slot. Threaded prefetch overlaps h5
+decode with device compute.
+
+Batch dict layout (numpy, time-major for `lax.scan`):
+    ev          [L, B, C, H, W] uint8/float — raw event reprs (unpadded HW)
+    is_first    [B] bool
+    is_padded   [B, L] bool
+    labels      list[L] of list[B] of Optional[Boxes]
+    skipped     same (WSOD-withheld labels)
+    paths       [B] str, ev_idx [B, L] int
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import DatasetConfig
+from .augment import SpatialAugmentor
+from .labels import Boxes, pad_yolox_batch
+from .sequence import (EventSequence, RandomAccessSequence, WindowedSequence,
+                       list_sequence_dirs, split_ranges_with_guaranteed_labels)
+
+
+def pyramid_indices(n: int) -> Iterator[int]:
+    """0,1,..,n-1,n-1,..,1,0,0,1,... (reference: stream_sharded_datapipe.py:31-38)."""
+    while True:
+        yield from range(n)
+        yield from range(n - 1, -1, -1)
+
+
+def open_split_sequences(cfg: DatasetConfig, split: str,
+                         seq_ratio: float = -1.0,
+                         label_ratio: Optional[float] = None,
+                         keep_objframe_map: Optional[dict] = None,
+                         pseudo_mode: bool = False) -> List[EventSequence]:
+    """Open all sequences of a split; optional SSOD sequence subsampling
+    (every k-th, reference: utils/preprocessing.py:18-28).
+
+    pseudo_mode: keep ALL sequences, but SSOD-skipped ones get an empty
+    kept-label list so every frame is pseudo-labeled
+    (reference: dataset_streaming.py:71-79)."""
+    dirs = list_sequence_dirs(cfg.path, split)
+    kept_dirs = set(dirs)
+    if 0.0 < seq_ratio < 1.0:
+        step = round(1.0 / seq_ratio)
+        kept_dirs = set(dirs[::step])
+        if not pseudo_mode:
+            dirs = sorted(kept_dirs)
+    out = []
+    for d in dirs:
+        keep = keep_objframe_map.get(d) if keep_objframe_map else None
+        if pseudo_mode and d not in kept_dirs:
+            keep = []
+        out.append(EventSequence(d, cfg, keep_objframe_idx=keep,
+                                 label_ratio=label_ratio))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Train: infinite per-slot shuffled streaming
+# ---------------------------------------------------------------------------
+
+class _TrainSlot:
+    """One infinite stream: shuffled concatenation of all sequence parts,
+    per-part consistent augmentation (reference: stream_concat_datapipe.py
+    + RandAugmentIterDataPipe, sequence_streaming.py:280-318)."""
+
+    def __init__(self, sequences: List[EventSequence], window: int,
+                 cfg: DatasetConfig, seed: int):
+        self.rng = np.random.default_rng(seed)
+        self.window = window
+        self.cfg = cfg
+        self.parts: List[Tuple[EventSequence, Tuple[int, int]]] = []
+        for seq in sequences:
+            kept_reprs = seq.objframe_idx_2_repr_idx[list(seq.kept_objframe_idx)]
+            for rng_idx in split_ranges_with_guaranteed_labels(
+                    np.asarray(kept_reprs), window):
+                self.parts.append((seq, rng_idx))
+        assert self.parts, "no labeled stream parts found"
+        self.augmentor = SpatialAugmentor(cfg.loading_hw, cfg.augment_stream,
+                                          self.rng)
+        self._iter = self._generate()
+
+    def _generate(self):
+        while True:
+            order = self.rng.permutation(len(self.parts))
+            for pi in order:
+                seq, rng_idx = self.parts[int(pi)]
+                self.augmentor.randomize()
+                tflip = self.augmentor.params.tflip
+                win = WindowedSequence(seq, self.window, range_indices=rng_idx,
+                                       time_flip=tflip)
+                for i in range(len(win)):
+                    yield self.augmentor.apply(win[i])
+
+    def __next__(self):
+        return next(self._iter)
+
+
+class StreamTrainLoader:
+    """B parallel infinite slots; every `next()` yields one batch whose row b
+    continues slot b's stream (reference: stream_concat_datapipe.py:63-103)."""
+
+    def __init__(self, sequences: List[EventSequence], cfg: DatasetConfig,
+                 batch_size: int, seed: int = 0):
+        self.slots = [
+            _TrainSlot(sequences, cfg.sequence_length, cfg, seed * 1000 + b)
+            for b in range(batch_size)]
+
+    def __iter__(self):
+        while True:
+            yield collate([next(s) for s in self.slots])
+
+
+class RandomTrainLoader:
+    """Uniform random-access samples; RNN always resets
+    (reference: dataset_rnd.py:95-152)."""
+
+    def __init__(self, sequences: List[EventSequence], cfg: DatasetConfig,
+                 batch_size: int, seed: int = 0):
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed + 77)
+        self.datasets = [RandomAccessSequence(s, cfg.sequence_length)
+                         for s in sequences]
+        self.datasets = [d for d in self.datasets if len(d) > 0]
+        self.sizes = np.array([len(d) for d in self.datasets])
+        self.cum = np.cumsum(self.sizes)
+        self.augmentor = SpatialAugmentor(cfg.loading_hw, cfg.augment_random,
+                                          self.rng)
+
+    def _sample_one(self) -> dict:
+        for _ in range(32):
+            gidx = int(self.rng.integers(0, self.cum[-1]))
+            di = int(np.searchsorted(self.cum, gidx, side="right"))
+            li = gidx - (self.cum[di - 1] if di > 0 else 0)
+            self.augmentor.randomize()
+            tflip = self.augmentor.params.tflip
+            try:
+                s = self.datasets[di].__getitem__(int(li), time_flip=tflip)
+            except ValueError:
+                continue    # rand-another on label-less windows
+            out = self.augmentor.apply(s)
+            if any(l is not None for l in out["labels"]):
+                return out
+        raise RuntimeError("could not sample a labeled random-access window")
+
+    def __iter__(self):
+        while True:
+            yield collate([self._sample_one() for _ in range(self.batch_size)])
+
+
+class MixedTrainLoader:
+    """Concat stream + random batches along the batch axis each step
+    (reference: modules/utils/detection.py:226-240, modules/data/genx.py:120-144).
+    Stream rows occupy slots [0, B_stream); random rows always reset."""
+
+    def __init__(self, stream_loader: StreamTrainLoader,
+                 random_loader: RandomTrainLoader):
+        self.stream_loader = stream_loader
+        self.random_loader = random_loader
+
+    def __iter__(self):
+        for bs, br in zip(iter(self.stream_loader), iter(self.random_loader)):
+            yield concat_batches([bs, br])
+
+
+# ---------------------------------------------------------------------------
+# Eval: deterministic full-coverage streaming
+# ---------------------------------------------------------------------------
+
+class EvalStreamLoader:
+    """Deal full sequences (long -> short, pyramid order) over
+    process_shards x batch_slots; pad exhausted slots with filler windows
+    (reference: stream_sharded_datapipe.py:27-117)."""
+
+    def __init__(self, sequences: List[EventSequence], cfg: DatasetConfig,
+                 batch_size: int, window: Optional[int] = None,
+                 shard_index: int = 0, num_shards: int = 1,
+                 time_flip: bool = False, start_from_zero: bool = False):
+        window = window or cfg.sequence_length
+        wins = [WindowedSequence(s, window, time_flip=time_flip,
+                                 start_from_zero=start_from_zero)
+                for s in sequences]
+        wins = [w for w in wins if len(w) > 0]
+        wins.sort(key=len, reverse=True)
+        # two-level pyramid deal: first to shards, then to slots
+        mine: List[WindowedSequence] = []
+        gen = pyramid_indices(num_shards)
+        for w in wins:
+            if next(gen) == shard_index:
+                mine.append(w)
+        assert len(mine) >= batch_size, (
+            f"shard {shard_index} got {len(mine)} sequences < batch {batch_size}")
+        mine.sort(key=len, reverse=True)
+        self.slots: List[List[WindowedSequence]] = [[] for _ in range(batch_size)]
+        gen = pyramid_indices(batch_size)
+        for w in mine:
+            self.slots[next(gen)].append(w)
+        self.filler = mine[0].padded_sample()
+        self.batch_size = batch_size
+
+    def __len__(self):
+        return max(sum(len(w) for w in slot) for slot in self.slots)
+
+    def __iter__(self):
+        iters = []
+        for slot in self.slots:
+            def chain(ws=slot):
+                for w in ws:
+                    for i in range(len(w)):
+                        yield w[i]
+            iters.append(chain())
+        n_steps = len(self)
+        for _ in range(n_steps):
+            rows = []
+            for it in iters:
+                s = next(it, None)
+                rows.append(self.filler if s is None else s)
+            yield collate(rows)
+
+
+# ---------------------------------------------------------------------------
+# Collation
+# ---------------------------------------------------------------------------
+
+def collate(samples: List[dict]) -> dict:
+    """Stack B window samples into one time-major batch dict."""
+    L = samples[0]["ev_repr"].shape[0]
+    ev = np.stack([s["ev_repr"] for s in samples], axis=1)   # [L, B, C, H, W]
+    labels = [[s["labels"][t] for s in samples] for t in range(L)]
+    skipped = [[s["skipped_labels"][t] for s in samples] for t in range(L)]
+    return {
+        "ev": ev,
+        "is_first": np.array([s["is_first_sample"] for s in samples], bool),
+        "is_last": np.array([s["is_last_sample"] for s in samples], bool),
+        "is_padded": np.stack([s["is_padded"] for s in samples]),  # [B, L]
+        "labels": labels,
+        "skipped": skipped,
+        "paths": [s["path"] for s in samples],
+        "ev_idx": np.stack([s["ev_idx"] for s in samples]),        # [B, L]
+        "is_reversed": np.array([s.get("is_reversed", False)
+                                 for s in samples], bool),
+    }
+
+
+def concat_batches(batches: List[dict]) -> dict:
+    L = len(batches[0]["labels"])
+    out = {
+        "ev": np.concatenate([b["ev"] for b in batches], axis=1),
+        "is_first": np.concatenate([b["is_first"] for b in batches]),
+        "is_last": np.concatenate([b["is_last"] for b in batches]),
+        "is_padded": np.concatenate([b["is_padded"] for b in batches]),
+        "labels": [sum((b["labels"][t] for b in batches), [])
+                   for t in range(L)],
+        "skipped": [sum((b["skipped"][t] for b in batches), [])
+                    for t in range(L)],
+        "paths": sum((b["paths"] for b in batches), []),
+        "ev_idx": np.concatenate([b["ev_idx"] for b in batches]),
+        "is_reversed": np.concatenate([b["is_reversed"] for b in batches]),
+    }
+    return out
+
+
+def harvest_frames(batch: dict, frames_per_slot: int, max_gt: int,
+                   pad_hw: Tuple[int, int], use_label_every: int = 1,
+                   ignore_label: int = 1024,
+                   ignore_image: bool = False) -> dict:
+    """Device-ready arrays: pad ev to `pad_hw`, NHWC time-major, and a
+    PER-SLOT static-budget list of labeled timesteps + padded labels.
+
+    Per-slot (not global) harvesting keeps the device-side feature gather
+    along the time axis only, so it shards cleanly over a data mesh.
+
+    `use_label_every`: on pseudo-dense sequences keep only every k-th
+    timestep's pseudo labels; GT frames always kept
+    (reference: modules/detection.py:129-148). `ignore_image` drops
+    frames whose boxes are ALL ignore-labeled
+    (reference: labels.py:716-729).
+    """
+    ev = batch["ev"]                                    # [L, B, C, H, W]
+    L, B = ev.shape[:2]
+    h, w = ev.shape[-2:]
+    ev = np.transpose(ev, (0, 1, 3, 4, 2))              # -> [L, B, H, W, C]
+    if (h, w) != pad_hw:
+        ev = np.pad(ev, ((0, 0), (0, 0), (0, pad_hw[0] - h),
+                         (0, pad_hw[1] - w), (0, 0)))
+
+    M = frames_per_slot
+    t_idx = np.zeros((B, M), np.int32)
+    mask = np.zeros((B, M), bool)
+    boxes: List[List[Optional[Boxes]]] = [[None] * M for _ in range(B)]
+    counts = np.zeros(B, np.int32)
+    dropped = 0
+    for t in range(L):
+        keep_t = (use_label_every <= 1) or (t % use_label_every == 0)
+        for b in range(B):
+            lab = batch["labels"][t][b]
+            if lab is None or len(lab) == 0:
+                continue
+            if not keep_t and bool(np.all(lab.is_pseudo())):
+                continue
+            if ignore_image and bool(np.all(lab.is_ignore(ignore_label))):
+                continue
+            n = counts[b]
+            if n >= M:
+                dropped += 1
+                continue     # static budget exceeded (rare; raise budget)
+            t_idx[b, n], mask[b, n] = t, True
+            boxes[b][n] = lab
+            counts[b] = n + 1
+    labels = np.stack([pad_yolox_batch(row, max_gt) for row in boxes])
+    return {
+        "ev": ev, "is_first": batch["is_first"],
+        "frame_t": t_idx, "frame_mask": mask,
+        "labels": labels, "num_frames": int(counts.sum()),
+        "dropped_frames": dropped,
+        "boxes": boxes,     # host-side Boxes for eval bridging (row-major)
+    }
+
+
+class Prefetcher:
+    """Background-thread prefetch wrapper around any batch iterator."""
+
+    def __init__(self, it, depth: int = 2):
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._it = it
+        self._done = object()
+        self._thread = threading.Thread(target=self._fill, daemon=True)
+        self._thread.start()
+
+    def _fill(self):
+        try:
+            for x in self._it:
+                self._q.put(x)
+        finally:
+            self._q.put(self._done)
+
+    def __iter__(self):
+        while True:
+            x = self._q.get()
+            if x is self._done:
+                return
+            yield x

@@ -1,0 +1,190 @@
+"""COCO-style detection AP in pure numpy.
+
+Drop-in replacement for the pycocotools/COCOeval_opt dependency
+(reference: utils/evaluation/prophesee/metrics/coco_eval.py:16-29) since
+pycocotools is not available in this environment. Implements the
+standard COCOeval 'bbox' protocol:
+
+  * IoU thresholds 0.50:0.05:0.95, 101 recall points
+  * greedy score-descending matching, ignore-aware (area-range GTs)
+  * per-(category, area, maxDet) accumulation with precision envelope
+
+Inputs are per-image lists of dict-like boxes in xywh (top-left) format.
+Verified against hand-computed cases in tests/test_coco.py.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+IOU_THRS = np.linspace(0.5, 0.95, 10)
+REC_THRS = np.linspace(0.0, 1.0, 101)
+AREA_RANGES = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0 ** 2),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, 1e10),
+}
+MAX_DETS = 100
+
+
+def _iou_xywh(dt: np.ndarray, gt: np.ndarray) -> np.ndarray:
+    """[D, G] IoU for xywh boxes."""
+    if len(dt) == 0 or len(gt) == 0:
+        return np.zeros((len(dt), len(gt)))
+    dx0, dy0 = dt[:, 0:1], dt[:, 1:2]
+    dx1, dy1 = dx0 + dt[:, 2:3], dy0 + dt[:, 3:4]
+    gx0, gy0 = gt[:, 0], gt[:, 1]
+    gx1, gy1 = gx0 + gt[:, 2], gy0 + gt[:, 3]
+    ix = np.maximum(np.minimum(dx1, gx1) - np.maximum(dx0, gx0), 0)
+    iy = np.maximum(np.minimum(dy1, gy1) - np.maximum(dy0, gy0), 0)
+    inter = ix * iy
+    area_d = (dt[:, 2] * dt[:, 3])[:, None]
+    area_g = gt[:, 2] * gt[:, 3]
+    return inter / np.maximum(area_d + area_g - inter, 1e-12)
+
+
+def _evaluate_image(gt_boxes: np.ndarray, gt_ignore_flags: np.ndarray,
+                    dt_boxes: np.ndarray, dt_scores: np.ndarray,
+                    area_rng: Tuple[float, float], max_det: int):
+    """Match one image/category. Returns (dt_matched, dt_ignore, dt_scores,
+    num_nonignore_gt) with detections sorted by score desc, capped."""
+    a0, a1 = area_rng
+    gt_area = gt_boxes[:, 2] * gt_boxes[:, 3] if len(gt_boxes) else np.zeros(0)
+    gt_ig = gt_ignore_flags | (gt_area < a0) | (gt_area > a1)
+    # sort gts: non-ignore first (stable)
+    g_ord = np.argsort(gt_ig, kind="stable")
+    gt_boxes, gt_ig = gt_boxes[g_ord], gt_ig[g_ord]
+
+    d_ord = np.argsort(-dt_scores, kind="stable")[:max_det]
+    dt_boxes, dt_scores = dt_boxes[d_ord], dt_scores[d_ord]
+
+    if len(dt_boxes) and len(gt_boxes):
+        from ..native import coco_match
+        native = coco_match(dt_boxes, gt_boxes, gt_ig, IOU_THRS, a0, a1)
+        if native is not None:
+            dtm, dt_ig = native
+            return dtm, dt_ig, dt_scores, int((~gt_ig).sum())
+
+    ious = _iou_xywh(dt_boxes, gt_boxes)
+    T, D, G = len(IOU_THRS), len(dt_boxes), len(gt_boxes)
+    dtm = np.zeros((T, D), np.int64)       # 1 + matched gt index, 0 = none
+    dt_ig = np.zeros((T, D), bool)
+    gtm = np.zeros((T, G), bool)
+    for ti, t in enumerate(IOU_THRS):
+        for d in range(D):
+            best_iou = min(t, 1 - 1e-10)
+            m = -1
+            for g in range(G):
+                if gtm[ti, g]:
+                    continue
+                # gts sorted non-ignore first: once we have a match and hit
+                # the ignore region, stop
+                if m > -1 and not gt_ig[m] and gt_ig[g]:
+                    break
+                if ious[d, g] < best_iou:
+                    continue
+                best_iou = ious[d, g]
+                m = g
+            if m == -1:
+                continue
+            dtm[ti, d] = m + 1
+            dt_ig[ti, d] = gt_ig[m]
+            gtm[ti, m] = True
+    # unmatched dets outside the area range are ignored
+    if D:
+        dt_area = dt_boxes[:, 2] * dt_boxes[:, 3]
+        out_of_rng = (dt_area < a0) | (dt_area > a1)
+        dt_ig |= (dtm == 0) & out_of_rng[None, :]
+    return dtm, dt_ig, dt_scores, int((~gt_ig).sum())
+
+
+class COCOEvaluator:
+    """Accumulates per-image GT/detections and computes COCO AP stats."""
+
+    def __init__(self, num_categories: int):
+        self.num_categories = num_categories
+        # per (cat) lists of per-image eval results, keyed later by area
+        self._images: List[Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                 np.ndarray, np.ndarray]] = []
+
+    def add_image(self, gt_boxes: np.ndarray, gt_cats: np.ndarray,
+                  dt_boxes: np.ndarray, dt_cats: np.ndarray,
+                  dt_scores: np.ndarray,
+                  gt_ignore: Optional[np.ndarray] = None):
+        """Boxes in xywh. Categories are 0-based ints."""
+        gt_ignore = (np.zeros(len(gt_boxes), bool) if gt_ignore is None
+                     else gt_ignore)
+        self._images.append((np.asarray(gt_boxes, np.float64).reshape(-1, 4),
+                             np.asarray(gt_cats, np.int64),
+                             np.asarray(dt_boxes, np.float64).reshape(-1, 4),
+                             np.asarray(dt_cats, np.int64),
+                             np.asarray(dt_scores, np.float64),
+                             ) + (np.asarray(gt_ignore, bool),))
+
+    def summarize(self) -> Dict[str, float]:
+        T = len(IOU_THRS)
+        R = len(REC_THRS)
+        K = self.num_categories
+        areas = list(AREA_RANGES.items())
+        precision = -np.ones((T, R, K, len(areas)))
+        has_gt = np.zeros((K,), bool)
+
+        for k in range(K):
+            per_area_results = {name: [] for name, _ in areas}
+            npig_by_area = {name: 0 for name, _ in areas}
+            for (gtb, gtc, dtb, dtc, dts, gti) in self._images:
+                g_sel = gtc == k
+                d_sel = dtc == k
+                for name, rng in areas:
+                    dtm, dt_ig, scores, npig = _evaluate_image(
+                        gtb[g_sel], gti[g_sel], dtb[d_sel], dts[d_sel],
+                        rng, MAX_DETS)
+                    per_area_results[name].append((dtm, dt_ig, scores))
+                    npig_by_area[name] += npig
+            if npig_by_area["all"] > 0:
+                has_gt[k] = True
+            for ai, (name, _) in enumerate(areas):
+                npig = npig_by_area[name]
+                if npig == 0:
+                    continue
+                scores = np.concatenate(
+                    [r[2] for r in per_area_results[name]])
+                order = np.argsort(-scores, kind="mergesort")
+                dtm = np.concatenate(
+                    [r[0] for r in per_area_results[name]], axis=1)[:, order]
+                dt_ig = np.concatenate(
+                    [r[1] for r in per_area_results[name]], axis=1)[:, order]
+                tps = (dtm > 0) & ~dt_ig
+                fps = (dtm == 0) & ~dt_ig
+                tp_sum = np.cumsum(tps, axis=1).astype(np.float64)
+                fp_sum = np.cumsum(fps, axis=1).astype(np.float64)
+                for ti in range(T):
+                    tp, fp = tp_sum[ti], fp_sum[ti]
+                    rc = tp / npig
+                    pr = tp / np.maximum(tp + fp, np.spacing(1))
+                    # precision envelope (monotone from the right)
+                    for i in range(len(pr) - 1, 0, -1):
+                        if pr[i] > pr[i - 1]:
+                            pr[i - 1] = pr[i]
+                    inds = np.searchsorted(rc, REC_THRS, side="left")
+                    q = np.zeros(R)
+                    valid = inds < len(pr)
+                    q[valid] = pr[inds[valid]]
+                    precision[ti, :, k, ai] = q
+
+        def _ap(t_slice=slice(None), area_idx=0):
+            p = precision[t_slice, :, :, area_idx]
+            p = p[p > -1]
+            return float(np.mean(p)) if p.size else 0.0
+
+        names = [n for n, _ in areas]
+        return {
+            "AP": _ap(),
+            "AP_50": _ap(slice(0, 1)),
+            "AP_75": _ap(slice(5, 6)),
+            "AP_S": _ap(area_idx=names.index("small")),
+            "AP_M": _ap(area_idx=names.index("medium")),
+            "AP_L": _ap(area_idx=names.index("large")),
+        }

@@ -1,0 +1,152 @@
+"""Test-time-augmentation evaluation (reference: modules/utils/tta.py).
+
+Runs up to four views over each sequence — normal, h-flip (in-batch),
+t-flip (reversed streaming pass), t-flip+h-flip — keeps predictions only
+at GT-labeled frames, re-aligns flipped views (h-flip-back; t-flip index
+offset), merges each frame's pooled predictions by NMS, then evaluates
+with the Prophesee COCO protocol.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..config import ExperimentConfig, PostprocessConfig
+from ..data.labels import Boxes
+from ..data.loader import (EvalStreamLoader, Prefetcher, harvest_frames,
+                           open_split_sequences)
+from ..models.detector import Detector
+from ..ops.nms import batched_nms_numpy, postprocess
+from ..train.step import make_eval_step
+from .prophesee import PropheseeEvaluator, boxes_to_prophesee
+
+
+def merge_view_preds(pred_rows: np.ndarray, pp: PostprocessConfig
+                     ) -> np.ndarray:
+    """NMS-merge pooled (x1,y1,x2,y2,obj,cls_conf,cls_id) rows from
+    multiple TTA views (reference: tta.py:18-61)."""
+    if len(pred_rows) == 0:
+        return pred_rows
+    score = pred_rows[:, 4] * pred_rows[:, 5]
+    keep = score >= pp.confidence_threshold
+    rows = pred_rows[keep]
+    if len(rows) == 0:
+        return rows
+    kept = batched_nms_numpy(rows[:, :4], rows[:, 4] * rows[:, 5],
+                             rows[:, 6], pp.nms_threshold)
+    return rows[kept]
+
+
+class _SeqResult:
+    """Per-sequence accumulation (reference: EventSeqResult, tta.py:64-197)."""
+
+    def __init__(self, img_w: float):
+        self.img_w = img_w
+        self.preds: Dict[int, List[np.ndarray]] = {}
+        self.gts: Dict[int, Boxes] = {}
+        self.ended = False
+        self.augmented = False
+
+    def add(self, ev_idx: int, gt: Optional[Boxes], pred: np.ndarray,
+            is_hflip: bool, is_tflip: bool, tflip_offset: int):
+        if is_hflip or is_tflip:
+            self.augmented = True
+        if is_hflip and len(pred):
+            pred = pred.copy()
+            w = pred[:, 2] - pred[:, 0]
+            pred[:, 0] = self.img_w - 1 - pred[:, 0] - w
+            pred[:, 2] = pred[:, 0] + w
+        if is_tflip:
+            ev_idx = ev_idx + tflip_offset
+        self.preds.setdefault(ev_idx, []).append(pred)
+        if gt is not None and not is_hflip and not is_tflip:
+            assert ev_idx not in self.gts
+            self.gts[ev_idx] = gt
+
+
+def run_tta_eval(det: Detector, variables, cfg: ExperimentConfig,
+                 split: str = "test", hflip: bool = True, tflip: bool = True,
+                 batch_size: Optional[int] = None,
+                 conf_threshold: Optional[float] = None,
+                 frames_per_slot: Optional[int] = None
+                 ) -> Optional[Dict[str, float]]:
+    dst = cfg.dataset
+    pp = cfg.model.postprocess
+    if conf_threshold is not None:
+        import dataclasses
+        pp = dataclasses.replace(pp, confidence_threshold=conf_threshold)
+    B = batch_size or cfg.training.batch_size_eval
+    n_cls = cfg.model.head.num_classes
+    L = dst.sequence_length
+    M = frames_per_slot or max(2, (L + 4) // 5 + 1)
+    eval_step = jax.jit(make_eval_step(det), donate_argnums=(1,))
+    results: Dict[str, _SeqResult] = {}
+
+    passes = [False] + ([True] if tflip else [])
+    for time_flip in passes:
+        seqs = open_split_sequences(dst, split)
+        B_eff = min(B, len(seqs))
+        loader = EvalStreamLoader(seqs, dst, B_eff, time_flip=time_flip)
+        B_dev = B_eff * 2 if hflip else B_eff
+        states = det.init_states(B_dev)
+        for batch in Prefetcher(iter(loader)):
+            ev = batch["ev"]
+            if hflip:
+                dev_in = dict(batch)
+                dev_in["ev"] = np.concatenate([ev, ev[..., ::-1]], axis=1)
+                dev_in["is_first"] = np.concatenate([batch["is_first"]] * 2)
+                dev_in["labels"] = [row * 2 for row in batch["labels"]]
+            else:
+                dev_in = batch
+            hb = harvest_frames(dev_in, M, cfg.model.head.max_gt,
+                                cfg.model.backbone.in_res_hw)
+            dev = {k: hb[k] for k in ("ev", "is_first", "frame_t",
+                                      "frame_mask", "labels")}
+            states, preds = eval_step(variables, states, dev)
+            if hb["num_frames"] == 0:
+                continue
+            dets, valid = postprocess(preds, num_classes=n_cls,
+                                      conf_threshold=pp.confidence_threshold,
+                                      nms_threshold=pp.nms_threshold,
+                                      pre_topk=pp.pre_nms_topk,
+                                      max_dets=pp.max_dets)
+            dets, valid = np.asarray(dets), np.asarray(valid)
+            for brow in range(len(hb["boxes"])):
+                b = brow % B_eff
+                is_h = brow >= B_eff
+                path = batch["paths"][b]
+                if not path:
+                    continue
+                rec = results.setdefault(path, _SeqResult(dst.loading_hw[1]))
+                for m in range(M):
+                    gt = hb["boxes"][brow][m]
+                    if gt is None:
+                        continue
+                    t = int(hb["frame_t"][brow, m])
+                    ev_i = int(batch["ev_idx"][b, t])
+                    if ev_i < 0:
+                        continue
+                    row = brow * M + m
+                    d = dets[row][valid[row]]
+                    rec.add(ev_i, gt if not is_h else None, d,
+                            is_hflip=is_h, is_tflip=time_flip,
+                            tflip_offset=dst.tflip_offset)
+                if bool(batch["is_last"][b]) and not time_flip:
+                    rec.ended = True
+        for s in seqs:
+            s.close()
+
+    evaluator = PropheseeEvaluator(dst.name, dst.downsample_by_factor_2)
+    for path, rec in results.items():
+        for ev_i in sorted(rec.gts.keys()):
+            pooled = np.concatenate(
+                [p for p in rec.preds.get(ev_i, []) if len(p)] or
+                [np.zeros((0, 7), np.float32)])
+            merged = merge_view_preds(pooled, pp) if rec.augmented else pooled
+            gt_p, dt_p = boxes_to_prophesee(rec.gts[ev_i],
+                                            merged if len(merged) else None)
+            evaluator.add_labels([gt_p])
+            evaluator.add_predictions([dt_p])
+    return evaluator.evaluate()

@@ -1,0 +1,121 @@
+"""Jitted train / eval step factories.
+
+TPU-first structure of the reference training step
+(reference: modules/detection.py:150-298):
+
+  * the L-timestep backbone loop is a `lax.scan` with rematerialized
+    body (TBPTT: carried states come out of the step and are reused,
+    gradients never flow across step boundaries),
+  * ragged "labeled frame harvesting" (reference BackboneFeatureSelector,
+    modules/utils/detection.py:27-58) becomes a static-budget gather of
+    (t, b) pairs computed on host,
+  * FPN + head + SimOTA run once over the gathered frames.
+
+All functions are pure; `donate` the states/opt-state at the jit level.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.backbone import BackboneStates, reset_states
+from ..models.detector import Detector
+
+
+class TrainState(NamedTuple):
+    variables: Dict[str, Any]
+    opt_state: Any
+    states: BackboneStates     # stream-slot LSTM table [B_slots, ...]
+    step: jnp.ndarray
+
+
+def _scan_backbone(det: Detector, variables, states0, ev_seq):
+    """Scan the backbone over time; returns FPN-stage features per step.
+
+    ev_seq [L, B, H, W, C] (any dtype; cast to compute dtype here).
+    Returns (final_states, {2: [L,B,...], 3: ..., 4: ...}).
+    """
+    stages = det.cfg.fpn.in_stages
+
+    @functools.partial(jax.checkpoint, prevent_cse=False)
+    def body(carry, x_t):
+        feats, new_states = det.forward_backbone(
+            variables, x_t.astype(det.dtype), carry)
+        return new_states, tuple(feats[s] for s in stages)
+
+    final_states, feats_seq = jax.lax.scan(body, states0, ev_seq)
+    return final_states, dict(zip(stages, feats_seq))
+
+
+def _gather_frames(feats_seq: Dict[int, jnp.ndarray], frame_t: jnp.ndarray):
+    """Per-slot time gather: feats [L, B, h, w, c] + frame_t [B, M] ->
+    [B*M, h, w, c] with the batch axis outermost.
+
+    Gathering along time only (never across batch rows) keeps the gather
+    local to each data-parallel shard — no cross-device collectives."""
+    def one(f):
+        g = jax.vmap(lambda f_b, t_b: f_b[t_b], in_axes=(1, 0))(f, frame_t)
+        return g.reshape((-1,) + g.shape[2:])
+    return {s: one(f) for s, f in feats_seq.items()}
+
+
+def make_train_step(det: Detector, optimizer):
+    """Returns train_step(state, batch) -> (state, metrics).
+
+    batch: ev [L,B,H,W,C], is_first [B], frame_t [B,M], frame_mask [B,M],
+    labels [B,M,G,7]. All shapes static across steps.
+    """
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        states0 = reset_states(state.states, batch["is_first"])
+        batch_stats = state.variables["batch_stats"]
+
+        def loss_fn(params):
+            v = {"params": params, "batch_stats": batch_stats}
+            final_states, feats_seq = _scan_backbone(det, v, states0,
+                                                     batch["ev"])
+            feats = _gather_frames(feats_seq, batch["frame_t"])
+            out, new_stats = det.forward_detect(v, feats, train=True)
+            labels = batch["labels"].reshape((-1,) + batch["labels"].shape[2:])
+            losses = det.loss(out, labels, batch["frame_mask"].reshape(-1))
+            return losses["loss"], (losses, new_stats, final_states)
+
+        grads, (losses, new_stats, final_states) = jax.grad(
+            loss_fn, has_aux=True)(state.variables["params"])
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.variables["params"])
+        params = optax.apply_updates(state.variables["params"], updates)
+        new_state = TrainState(
+            variables={"params": params, "batch_stats": new_stats},
+            opt_state=opt_state,
+            states=jax.lax.stop_gradient(final_states),
+            step=state.step + 1,
+        )
+        metrics = dict(losses)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(det: Detector):
+    """Returns eval_step(variables, states, batch) ->
+    (new_states, preds [M, A, 5+C] sigmoided).
+
+    Streaming evaluation: states persist across calls per slot
+    (reference: modules/detection.py:300-401)."""
+
+    def eval_step(variables, states: BackboneStates,
+                  batch: Dict[str, jnp.ndarray]):
+        states0 = reset_states(states, batch["is_first"])
+        final_states, feats_seq = _scan_backbone(det, variables, states0,
+                                                 batch["ev"])
+        feats = _gather_frames(feats_seq, batch["frame_t"])
+        preds, _ = det.forward_detect(variables, feats, train=False)
+        return final_states, preds
+
+    return eval_step

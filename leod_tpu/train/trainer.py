@@ -1,0 +1,263 @@
+"""Training orchestration: loaders, jitted steps, eval, checkpoints.
+
+Replaces the reference's PyTorch-Lightning Trainer + Module wiring
+(reference: train.py:98-261, modules/detection.py) with a plain loop:
+host loader threads feed device-ready batches; one jitted train step
+carries the stream-state table; streaming evaluation + Prophesee COCO
+metrics run at `val_check_interval`; orbax checkpoints are written on a
+timer and on best-AP (reference: callbacks/custom.py:9-29).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+try:
+    import orbax.checkpoint as ocp
+except Exception:                                   # pragma: no cover
+    ocp = None
+
+from ..config import ExperimentConfig
+from ..data.loader import (EvalStreamLoader, MixedTrainLoader, Prefetcher,
+                           RandomTrainLoader, StreamTrainLoader,
+                           harvest_frames, open_split_sequences)
+from ..eval.prophesee import PropheseeEvaluator, boxes_to_prophesee
+from ..models.detector import Detector
+from ..ops.nms import postprocess
+from .optim import make_optimizer
+from .step import TrainState, make_eval_step, make_train_step
+
+
+def default_frames_per_slot(seq_len: int, use_label_every: int = 1) -> int:
+    """Static per-slot harvest budget: real Gen1/Gen4 label at <= 4 Hz vs
+    20 Hz reprs, so ceil(L/5)+1 covers it with slack."""
+    return max(2, (seq_len + 4) // 5 + 1)
+
+
+class MetricLogger:
+    def __init__(self, path: Optional[str]):
+        self.path = path
+        if path:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            self._f = open(path, "a")
+        else:
+            self._f = None
+
+    def log(self, record: Dict[str, Any]):
+        rec = {k: (float(v) if isinstance(v, (jnp.ndarray, np.ndarray,
+                                              np.floating)) else v)
+               for k, v in record.items()}
+        line = json.dumps(rec)
+        if self._f:
+            self._f.write(line + "\n")
+            self._f.flush()
+        print(line, flush=True)
+
+
+def run_streaming_eval(det: Detector, variables, cfg: ExperimentConfig,
+                       split: str = "val", batch_size: Optional[int] = None,
+                       frames_per_slot: Optional[int] = None,
+                       conf_threshold: Optional[float] = None,
+                       max_batches: Optional[int] = None,
+                       time_flip: bool = False) -> Optional[Dict[str, float]]:
+    """Full streaming evaluation of a split -> Prophesee COCO metrics
+    (reference: modules/detection.py:300-463, val.py)."""
+    dst = cfg.dataset
+    B = batch_size or cfg.training.batch_size_eval
+    seqs = open_split_sequences(dst, split)
+    if not seqs:
+        return None
+    B = min(B, len(seqs))
+    loader = EvalStreamLoader(seqs, dst, B, time_flip=time_flip)
+    M = frames_per_slot or default_frames_per_slot(dst.sequence_length)
+    pp = cfg.model.postprocess
+    conf = conf_threshold if conf_threshold is not None else pp.confidence_threshold
+
+    eval_step = jax.jit(make_eval_step(det), donate_argnums=(1,))
+    evaluator = PropheseeEvaluator(dst.name, dst.downsample_by_factor_2)
+    states = det.init_states(B)
+    n_cls = cfg.model.head.num_classes
+    for bi, batch in enumerate(Prefetcher(iter(loader))):
+        if max_batches is not None and bi >= max_batches:
+            break
+        hb = harvest_frames(batch, M, cfg.model.head.max_gt,
+                            cfg.model.backbone.in_res_hw)
+        if hb["dropped_frames"]:
+            print(f"WARNING: eval dropped {hb['dropped_frames']} labeled "
+                  f"frames (budget {M}/slot too small)", flush=True)
+        dev = {k: hb[k] for k in ("ev", "is_first", "frame_t", "frame_mask",
+                                  "labels")}
+        states, preds = eval_step(variables, states, dev)
+        if hb["num_frames"] == 0:
+            continue
+        dets, valid = postprocess(preds, num_classes=n_cls,
+                                  conf_threshold=conf,
+                                  nms_threshold=pp.nms_threshold,
+                                  pre_topk=pp.pre_nms_topk,
+                                  max_dets=pp.max_dets)
+        dets = np.asarray(dets)
+        valid = np.asarray(valid)
+        # rows are (b, m) flattened with b outer
+        Mslot = hb["frame_t"].shape[1]
+        for b in range(len(hb["boxes"])):
+            for m in range(Mslot):
+                lab = hb["boxes"][b][m]
+                if lab is None:
+                    continue
+                row = b * Mslot + m
+                d = dets[row][valid[row]]
+                gt, dt = boxes_to_prophesee(lab, d if len(d) else None)
+                evaluator.add_labels([gt])
+                evaluator.add_predictions([dt])
+    for s in seqs:
+        s.close()
+    return evaluator.evaluate()
+
+
+class Trainer:
+    def __init__(self, cfg: ExperimentConfig, dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.det = Detector(cfg.model, dtype=dtype)
+        self.optimizer, self.schedule = make_optimizer(cfg.training)
+        self.run_dir = os.path.join(cfg.save_dir, cfg.exp_name)
+        os.makedirs(self.run_dir, exist_ok=True)
+        self.logger = MetricLogger(os.path.join(self.run_dir, "metrics.jsonl"))
+        self._ckpt = (ocp.PyTreeCheckpointer() if ocp is not None else None)
+
+    # -- state -------------------------------------------------------------
+    def init_state(self, batch_size: int, seed: int = 0) -> TrainState:
+        variables = self.det.init(jax.random.PRNGKey(seed), batch_size=1)
+        opt_state = self.optimizer.init(variables["params"])
+        states = self.det.init_states(batch_size)
+        return TrainState(variables=variables, opt_state=opt_state,
+                          states=states, step=jnp.zeros((), jnp.int32))
+
+    def save_checkpoint(self, state: TrainState, name: str = "last"):
+        if self._ckpt is None:
+            return
+        path = os.path.join(os.path.abspath(self.run_dir), f"ckpt_{name}")
+        payload = {"params": state.variables["params"],
+                   "batch_stats": state.variables["batch_stats"],
+                   "opt_state": state.opt_state,
+                   "step": state.step}
+        self._ckpt.save(path, payload, force=True)
+
+    def latest_checkpoint(self) -> Optional[str]:
+        """Newest checkpoint in the run dir for preemption auto-resume
+        (reference: train.py:71-95; corrupted ckpts are skipped)."""
+        cands = [os.path.join(self.run_dir, d)
+                 for d in os.listdir(self.run_dir)
+                 if d.startswith("ckpt_") and
+                 os.path.isdir(os.path.join(self.run_dir, d))]
+        for path in sorted(cands, key=os.path.getmtime, reverse=True):
+            try:
+                self._ckpt.restore(os.path.abspath(path))
+                return path
+            except Exception as e:                     # corrupted: fall back
+                print(f"skipping corrupted checkpoint {path}: {e}")
+        return None
+
+    def load_weights(self, path: str, state: TrainState) -> TrainState:
+        """Weight-only resume (reference: modules/detection.py:583-594)."""
+        restored = self._ckpt.restore(os.path.abspath(path))
+        variables = {"params": restored["params"],
+                     "batch_stats": restored["batch_stats"]}
+        return state._replace(variables=variables)
+
+    def restore_checkpoint(self, path: str, state: TrainState) -> TrainState:
+        """Full resume: weights + optimizer + step.
+
+        Restores the optimizer state against the live optax pytree
+        structure (orbax round-trips namedtuples as plain dicts)."""
+        restored = self._ckpt.restore(os.path.abspath(path))
+        opt_state = jax.tree.unflatten(
+            jax.tree.structure(state.opt_state),
+            jax.tree.leaves(restored["opt_state"]))
+        return TrainState(
+            variables={"params": restored["params"],
+                       "batch_stats": restored["batch_stats"]},
+            opt_state=opt_state,
+            states=state.states,
+            step=jnp.asarray(restored["step"]))
+
+    # -- data ---------------------------------------------------------------
+    def make_train_loader(self, seed: int = 0):
+        cfg = self.cfg
+        dst = cfg.dataset
+        B = cfg.training.batch_size_train
+        seqs = open_split_sequences(dst, "train", seq_ratio=dst.train_ratio)
+        mode = dst.train_sampling
+        if mode == "stream":
+            return StreamTrainLoader(seqs, dst, B, seed), B
+        if mode == "random":
+            return RandomTrainLoader(seqs, dst, B, seed), B
+        assert mode == "mixed"
+        b_stream = max(B // 2, 1)
+        b_rand = max(B - b_stream, 1)
+        return MixedTrainLoader(
+            StreamTrainLoader(seqs, dst, b_stream, seed),
+            RandomTrainLoader(seqs, dst, b_rand, seed)), b_stream + b_rand
+
+    # -- loop ---------------------------------------------------------------
+    def fit(self, max_steps: Optional[int] = None, seed: int = 0,
+            eval_split: str = "val", state: Optional[TrainState] = None,
+            log_every: int = 50) -> TrainState:
+        cfg = self.cfg
+        total = max_steps or cfg.training.max_steps
+        loader, B = self.make_train_loader(seed)
+        if state is None:
+            state = self.init_state(B, seed)
+        train_step = jax.jit(make_train_step(self.det, self.optimizer),
+                             donate_argnums=(0,))
+        M = (cfg.training.max_det_frames or
+             default_frames_per_slot(cfg.dataset.sequence_length,
+                                     cfg.model.use_label_every))
+        best_ap = -1.0
+        last_ckpt_time = time.time()
+        t0 = time.time()
+        frames_seen = 0
+        for batch in Prefetcher(iter(loader), depth=3):
+            step = int(state.step)
+            if step >= total:
+                break
+            hb = harvest_frames(batch, M, cfg.model.head.max_gt,
+                                cfg.model.backbone.in_res_hw,
+                                use_label_every=cfg.model.use_label_every,
+                                ignore_label=cfg.model.head.ignore_label,
+                                ignore_image=cfg.model.ignore_image)
+            dev = {k: hb[k] for k in ("ev", "is_first", "frame_t",
+                                      "frame_mask", "labels")}
+            state, metrics = train_step(state, dev)
+            frames_seen += batch["ev"].shape[0] * batch["ev"].shape[1]
+            if (step + 1) % log_every == 0 or step == 0:
+                dt = time.time() - t0
+                rec = {"step": step + 1,
+                       "lr": float(self.schedule(step)) if callable(
+                           self.schedule) else self.schedule,
+                       "frames_per_s": frames_seen / max(dt, 1e-6),
+                       **{k: float(v) for k, v in metrics.items()}}
+                if hb["dropped_frames"]:
+                    rec["dropped_frames"] = hb["dropped_frames"]
+                self.logger.log(rec)
+            if (time.time() - last_ckpt_time) / 60 >= cfg.training.ckpt_every_min:
+                self.save_checkpoint(state, "last")
+                last_ckpt_time = time.time()
+            if (cfg.training.val_check_interval and (step + 1) %
+                    cfg.training.val_check_interval == 0):
+                m = run_streaming_eval(self.det, state.variables, cfg,
+                                       split=eval_split)
+                if m:
+                    self.logger.log({"step": step + 1,
+                                     **{f"val/{k}": v for k, v in m.items()}})
+                    if m["AP"] > best_ap:
+                        best_ap = m["AP"]
+                        self.save_checkpoint(state, "best")
+        self.save_checkpoint(state, "last")
+        return state

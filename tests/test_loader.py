@@ -1,0 +1,127 @@
+"""Loaders: slot continuity, eval coverage, harvesting."""
+import numpy as np
+import pytest
+
+import dataclasses
+
+from leod_tpu.config import dataset_preset
+from leod_tpu.data.loader import (EvalStreamLoader, MixedTrainLoader,
+                                  RandomTrainLoader, StreamTrainLoader,
+                                  harvest_frames, open_split_sequences,
+                                  pyramid_indices)
+from leod_tpu.data.synthetic import generate_dataset
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth_loader")
+    generate_dataset(str(root), num_train=3, num_val=4, num_test=0,
+                     num_reprs=40, label_every=3, first_label_repr=11,
+                     hw=(64, 96))
+    return str(root)
+
+
+def _cfg(dataset, L=5):
+    return dataclasses.replace(dataset_preset("gen1"), path=dataset,
+                               resolution_hw=(64, 96), sequence_length=L)
+
+
+def test_pyramid_indices():
+    g = pyramid_indices(3)
+    assert [next(g) for _ in range(8)] == [0, 1, 2, 2, 1, 0, 0, 1]
+
+
+def test_stream_loader_slot_continuity(dataset):
+    cfg = _cfg(dataset)
+    seqs = open_split_sequences(cfg, "train")
+    loader = StreamTrainLoader(seqs, cfg, batch_size=2, seed=0)
+    it = iter(loader)
+    last_idx = [None, None]
+    n_first = 0
+    for _ in range(12):
+        b = next(it)
+        assert b["ev"].shape[1] == 2
+        for slot in range(2):
+            idx = [x for x in b["ev_idx"][slot].tolist() if x >= 0]
+            if b["is_first"][slot]:
+                n_first += 1
+            elif not b["is_reversed"][slot] and last_idx[slot] is not None \
+                    and last_idx[slot][0] >= 0:
+                # non-first windows continue where the previous left off
+                assert idx[0] == last_idx[slot][1] + 1, (idx, last_idx[slot])
+            last_idx[slot] = (idx[0], idx[-1]) if idx else (-1, -1)
+    assert n_first >= 2  # sequences rotate through slots
+
+
+def test_stream_loader_always_has_labels(dataset):
+    cfg = _cfg(dataset)
+    seqs = open_split_sequences(cfg, "train")
+    loader = StreamTrainLoader(seqs, cfg, batch_size=2, seed=1)
+    it = iter(loader)
+    for _ in range(10):
+        b = next(it)
+        for slot in range(2):
+            has = any(b["labels"][t][slot] is not None
+                      for t in range(len(b["labels"])))
+            assert has, "train stream window without labels"
+
+
+def test_eval_loader_full_coverage(dataset):
+    cfg = _cfg(dataset)
+    seqs = open_split_sequences(cfg, "val")
+    loader = EvalStreamLoader(seqs, cfg, batch_size=2)
+    seen = {}   # seq path -> list of ev_idx
+    for b in iter(loader):
+        for slot in range(2):
+            p = b["paths"][slot]
+            if not p:
+                continue
+            seen.setdefault(p, []).extend(
+                x for x in b["ev_idx"][slot].tolist() if x >= 0)
+    assert len(seen) == len(seqs)
+    for s in seqs:
+        idx = seen[s.seq_dir]
+        # every repr from the stream start consumed exactly once, in order
+        assert idx == sorted(set(idx))
+        assert idx[-1] == s.num_ev_repr - 1
+
+
+def test_mixed_loader(dataset):
+    cfg = _cfg(dataset)
+    seqs = open_split_sequences(cfg, "train")
+    loader = MixedTrainLoader(StreamTrainLoader(seqs, cfg, 2, 0),
+                              RandomTrainLoader(seqs, cfg, 2, 0))
+    b = next(iter(loader))
+    assert b["ev"].shape[1] == 4
+    # random rows always reset the RNN
+    assert b["is_first"][2] and b["is_first"][3]
+
+
+def test_harvest_frames(dataset):
+    cfg = _cfg(dataset)
+    seqs = open_split_sequences(cfg, "train")
+    loader = StreamTrainLoader(seqs, cfg, batch_size=2, seed=3)
+    b = next(iter(loader))
+    h = harvest_frames(b, frames_per_slot=4, max_gt=8, pad_hw=(64, 96))
+    assert h["ev"].shape == (5, 2, 64, 96, 20)
+    assert h["frame_t"].shape == (2, 4)
+    assert h["labels"].shape == (2, 4, 8, 7)
+    assert h["num_frames"] >= 1
+    # mask rows correspond to non-zero labels
+    for slot in range(2):
+        for m in range(4):
+            if h["frame_mask"][slot, m]:
+                assert h["labels"][slot, m].sum() != 0
+                t = h["frame_t"][slot, m]
+                assert b["labels"][t][slot] is not None
+
+
+def test_harvest_padding_hw(dataset):
+    cfg = _cfg(dataset)
+    seqs = open_split_sequences(cfg, "train")
+    b = next(iter(StreamTrainLoader(seqs, cfg, 1, 0)))
+    h = harvest_frames(b, 2, 8, pad_hw=(96, 128))
+    assert h["ev"].shape[2:] == (96, 128, 20)
+    # padded region is zero (bottom-right corner padding)
+    assert h["ev"][:, :, 64:, :, :].sum() == 0
+    assert h["ev"][:, :, :, 96:, :].sum() == 0

@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--tta-hflip", action="store_true")
     ap.add_argument("--tta-tflip", action="store_true")
     ap.add_argument("--no-use-gt", action="store_true")
+    ap.add_argument("--tracking-only", action="store_true",
+                    help="re-run the track filter over an existing pseudo "
+                         "dataset at --path (no model inference)")
     ap.add_argument("--conf", type=float, default=0.1)
     ap.add_argument("--verify-frac", type=float, default=0.1)
     ap.add_argument("--cpu", action="store_true")
@@ -98,6 +101,12 @@ def main():
                              confidence_threshold=args.conf)
     cfg = dataclasses.replace(
         cfg, model=dataclasses.replace(cfg.model, postprocess=pp))
+
+    if args.tracking_only:
+        from leod_tpu.selftrain.pseudo_labeler import rerun_track_filter
+        n = rerun_track_filter(dst.path, args.save_dir, dst, pl_cfg)
+        print(f"re-filtered {n} sequences into {args.save_dir}")
+        return
 
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     det = Detector(cfg.model, dtype=dtype)

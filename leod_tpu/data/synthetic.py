@@ -53,9 +53,14 @@ def generate_sequence(seq_dir: str, rng: np.random.Generator,
                       num_reprs: int = 64, hw: Tuple[int, int] = (240, 304),
                       bins: int = 10, num_objects: int = 2,
                       label_every: int = 2, first_label_repr: int = 11,
-                      noise_events: int = 200,
+                      noise_events: int = 200, num_classes: int = 2,
+                      ds2: bool = False,
                       ev_repr_name: str = "stacked_histogram_dt=50_nbins=10"):
-    """Write one synthetic sequence directory. Returns nothing."""
+    """Write one synthetic sequence directory.
+
+    ds2=True mimics the gen4 layout: event frames stored at hw/2 under
+    the `_ds2_nearest` h5 name while labels stay at full resolution
+    (the reader downsamples them by 2)."""
     h, w = hw
     c = 2 * bins
     ev_dir = os.path.join(seq_dir, "event_representations_v2", ev_repr_name)
@@ -63,10 +68,14 @@ def generate_sequence(seq_dir: str, rng: np.random.Generator,
     os.makedirs(ev_dir, exist_ok=True)
     os.makedirs(lab_dir, exist_ok=True)
 
+    if ds2:
+        assert h % 2 == 0 and w % 2 == 0
+        h, w = h // 2, w // 2     # frames stored at half resolution
+
     # object states: class, position, velocity, size
     objs = []
     for _ in range(num_objects):
-        cls = int(rng.integers(0, 2))
+        cls = int(rng.integers(0, num_classes))
         bw = rng.uniform(45, 80) if cls == 0 else rng.uniform(24, 34)
         bh = rng.uniform(30, 55) if cls == 0 else rng.uniform(34, 52)
         objs.append({
@@ -104,17 +113,20 @@ def generate_sequence(seq_dir: str, rng: np.random.Generator,
             frame_starts.append(len(label_rows))
             objframe_idx_2_repr_idx.append(t)
             ts = (t + 1) * DT_US   # label timestamp at end of window
+            scale = 2.0 if ds2 else 1.0    # labels live at full resolution
             for o in objs:
                 row = np.zeros((), dtype=BBOX_DTYPE)
                 row["t"] = ts
-                row["x"], row["y"] = o["x"], o["y"]
-                row["w"], row["h"] = o["w"], o["h"]
+                row["x"], row["y"] = o["x"] * scale, o["y"] * scale
+                row["w"], row["h"] = o["w"] * scale, o["h"] * scale
                 row["class_id"] = o["cls"]
                 row["class_confidence"] = 1.0
                 row["objectness"] = 1.0
                 label_rows.append(row)
 
-    with h5py.File(os.path.join(ev_dir, "event_representations.h5"), "w") as f:
+    h5_name = ("event_representations_ds2_nearest.h5" if ds2
+               else "event_representations.h5")
+    with h5py.File(os.path.join(ev_dir, h5_name), "w") as f:
         f.create_dataset("data", data=frames, chunks=(1, c, h, w),
                          compression="gzip", compression_opts=1)
     np.save(os.path.join(ev_dir, "objframe_idx_2_repr_idx.npy"),

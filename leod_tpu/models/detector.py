@@ -36,6 +36,11 @@ class Detector:
 
     # -- initialization -----------------------------------------------------
     def init(self, rng: jax.Array, batch_size: int = 1) -> Variables:
+        # jit the whole init: eager flax init dispatches hundreds of tiny
+        # ops, which is pathologically slow over a remote-TPU tunnel
+        return jax.jit(self._init_impl, static_argnums=(1,))(rng, batch_size)
+
+    def _init_impl(self, rng: jax.Array, batch_size: int) -> Variables:
         h, w = self.cfg.backbone.in_res_hw
         x = jnp.zeros((batch_size, h, w, self.cfg.backbone.input_channels),
                       self.dtype)

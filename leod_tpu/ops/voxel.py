@@ -30,9 +30,9 @@ def stacked_histogram(x: jnp.ndarray, y: jnp.ndarray, pol: jnp.ndarray,
     first/last VALID event time, scaled to `bins`, floored, clamped to
     bins-1 (representations.py:104-111). Channel layout: pol*bins + bin.
     """
-    n = x.shape[0]
-    big = jnp.iinfo(jnp.int64).max
-    t = time.astype(jnp.int64)
+    # int32-safe: event times within one window fit easily in 31 bits
+    big = jnp.iinfo(jnp.int32).max
+    t = time.astype(jnp.int32)
     t0 = jnp.min(jnp.where(valid, t, big))
     t1 = jnp.max(jnp.where(valid, t, -big))
     t0 = jnp.where(jnp.any(valid), t0, 0)
@@ -72,9 +72,8 @@ def mixed_density_stack(x: jnp.ndarray, y: jnp.ndarray, pol: jnp.ndarray,
     cumulative sum over bins. Output [bins, H, W] int8-ish counts of
     polarity (-1/+1 summed), clipped.
     """
-    n = x.shape[0]
-    big = jnp.iinfo(jnp.int64).max
-    t = time.astype(jnp.int64)
+    big = jnp.iinfo(jnp.int32).max
+    t = time.astype(jnp.int32)
     t0 = jnp.min(jnp.where(valid, t, big))
     t1 = jnp.max(jnp.where(valid, t, -big))
     t_norm = (t - t0).astype(jnp.float32) / jnp.maximum(

@@ -255,3 +255,40 @@ class SequenceRecorder:
             dst_link = osp.join(save_dir, split)
             if osp.exists(src) and not osp.lexists(dst_link):
                 os.symlink(osp.abspath(src), dst_link)
+
+
+def rerun_track_filter(src_root: str, save_dir: str, dst: DatasetConfig,
+                       pl_cfg: PseudoLabelConfig,
+                       postproc: Optional[PostprocessConfig] = None):
+    """Tracking-only post-processing: re-run the track filter over an
+    EXISTING pseudo dataset's labels without any model inference
+    (reference: predict.py:129-162 tracking-only mode with
+    dataset.only_load_labels=True).
+
+    Labels are processed at their stored (full) resolution."""
+    import dataclasses
+
+    from ..data.sequence import EventSequence, list_sequence_dirs
+
+    postproc = postproc or PostprocessConfig()
+    src_dst = dataclasses.replace(dst, path=src_root, ratio=-1.0,
+                                  train_ratio=-1.0)
+    os.makedirs(osp.join(save_dir, "train"), exist_ok=True)
+    n = 0
+    for seq_dir in list_sequence_dirs(src_root, "train"):
+        seq = EventSequence(seq_dir, src_dst)
+        rec = SequenceRecorder(seq_dir, 1.0, pl_cfg, postproc)
+        labels = []
+        for obj_idx in range(len(seq.frame_labels)):
+            lab = seq.frame_labels[obj_idx]
+            if seq.frame_labels.downsample_factor:
+                lab = lab.scale(seq.frame_labels.downsample_factor)
+            labels.append(lab)
+        rec.update(labels, seq.objframe_idx_2_repr_idx.tolist(),
+                   is_last_sample=True,
+                   is_padded=[False] * len(labels),
+                   is_hflip=False, is_tflip=False, tflip_offset=0)
+        rec.save(save_dir, dst)
+        seq.close()
+        n += 1
+    return n

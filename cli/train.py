@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--seq-len", type=int, default=None)
     ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--warmup-pct", type=float, default=None,
+                    help="OneCycle warmup fraction (default 0.005)")
     ap.add_argument("--sampling", default=None,
                     choices=["random", "stream", "mixed"])
     ap.add_argument("--ratio", type=float, default=-1.0,
@@ -81,6 +83,9 @@ def main():
                                  batch_size_eval=args.batch_size)
     if args.lr:
         tr = dataclasses.replace(tr, learning_rate=args.lr)
+    if args.warmup_pct is not None:
+        tr = dataclasses.replace(tr, lr_scheduler=dataclasses.replace(
+            tr.lr_scheduler, pct_start=args.warmup_pct))
     if args.val_every is not None:
         tr = dataclasses.replace(tr, val_check_interval=args.val_every)
     if args.max_det_frames:

@@ -103,13 +103,14 @@ class PseudoLabelRunner:
                                       pre_topk=pp.pre_nms_topk,
                                       max_dets=pp.max_dets)
             dets, valid = np.asarray(dets), np.asarray(valid)
-            self._consume(batch, dets, valid, L, B, hflip, time_flip, hw)
+            self._consume(batch, dets, valid, L, B, hflip, time_flip, hw,
+                          lens.lens.copy())
             lens.add(L)
-            self._lens_snapshot = lens.lens
         for s in seqs:
             s.close()
 
-    def _consume(self, batch, dets, valid, L, B, hflip, time_flip, hw):
+    def _consume(self, batch, dets, valid, L, B, hflip, time_flip, hw,
+                 lens_before):
         """Route per-frame detections into recorders + quality eval."""
         cfg, pl = self.cfg, self.pl
         dst = cfg.dataset
@@ -134,6 +135,11 @@ class PseudoLabelRunner:
                         # keep the GT on its frame (recorded once)
                         if not is_h and not time_flip:
                             row_labels[t] = gt
+                        continue
+                    # skip predicting on frames too soon after a state
+                    # reset: not enough history for reliable predictions
+                    # (reference: pseudo_labeler.py:525-531)
+                    if lens_before[b] + t < pl.skip_first_t:
                         continue
                     row = (b + off) * L + t
                     d = dets[row][valid[row]]

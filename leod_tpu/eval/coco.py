@@ -175,9 +175,10 @@ class COCOEvaluator:
                     precision[ti, :, k, ai] = q
 
         def _ap(t_slice=slice(None), area_idx=0):
+            # -1 when no GT falls in the range (pycocotools convention)
             p = precision[t_slice, :, :, area_idx]
             p = p[p > -1]
-            return float(np.mean(p)) if p.size else 0.0
+            return float(np.mean(p)) if p.size else -1.0
 
         names = [n for n, _ in areas]
         return {

@@ -97,6 +97,9 @@ def make_train_step(det: Detector, optimizer):
         )
         metrics = dict(losses)
         metrics["grad_norm"] = optax.global_norm(grads)
+        # per-module gradient norms (reference: callbacks/gradflow.py)
+        for mod in ("backbone", "fpn", "head"):
+            metrics[f"grad_norm/{mod}"] = optax.global_norm(grads[mod])
         return new_state, metrics
 
     return train_step

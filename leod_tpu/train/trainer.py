@@ -122,10 +122,16 @@ def run_streaming_eval(det: Detector, variables, cfg: ExperimentConfig,
 
 
 class Trainer:
-    def __init__(self, cfg: ExperimentConfig, dtype=jnp.bfloat16):
+    def __init__(self, cfg: ExperimentConfig, dtype=jnp.bfloat16,
+                 mesh=None):
+        """mesh: a 1-D jax.sharding.Mesh for data parallelism (batch and
+        LSTM state table sharded, parameters replicated). None = single
+        device. The reference's only parallelism is DDP (train.py:126-133);
+        this is its mesh equivalent."""
         self.cfg = cfg
         self.det = Detector(cfg.model, dtype=dtype)
         self.optimizer, self.schedule = make_optimizer(cfg.training)
+        self.mesh = mesh
         self.run_dir = os.path.join(cfg.save_dir, cfg.exp_name)
         os.makedirs(self.run_dir, exist_ok=True)
         self.logger = MetricLogger(os.path.join(self.run_dir, "metrics.jsonl"))
@@ -136,8 +142,19 @@ class Trainer:
         variables = self.det.init(jax.random.PRNGKey(seed), batch_size=1)
         opt_state = self.optimizer.init(variables["params"])
         states = self.det.init_states(batch_size)
-        return TrainState(variables=variables, opt_state=opt_state,
-                          states=states, step=jnp.zeros((), jnp.int32))
+        state = TrainState(variables=variables, opt_state=opt_state,
+                           states=states, step=jnp.zeros((), jnp.int32))
+        return self._place(state)
+
+    def _place(self, state: TrainState) -> TrainState:
+        if self.mesh is None:
+            return state
+        from ..parallel.mesh import replicate, shard_states
+        return TrainState(
+            variables=replicate(self.mesh, state.variables),
+            opt_state=replicate(self.mesh, state.opt_state),
+            states=shard_states(self.mesh, state.states),
+            step=replicate(self.mesh, state.step))
 
     def save_checkpoint(self, state: TrainState, name: str = "last"):
         if self._ckpt is None:
@@ -234,6 +251,9 @@ class Trainer:
                                 ignore_image=cfg.model.ignore_image)
             dev = {k: hb[k] for k in ("ev", "is_first", "frame_t",
                                       "frame_mask", "labels")}
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_batch
+                dev = shard_batch(self.mesh, dev)
             state, metrics = train_step(state, dev)
             frames_seen += batch["ev"].shape[0] * batch["ev"].shape[1]
             if (step + 1) % log_every == 0 or step == 0:

@@ -74,8 +74,8 @@ def test_area_split():
     ev.add_image(np.concatenate([small, large]), [0, 0],
                  np.concatenate([small, large]), [0, 0], [0.9, 0.8])
     s = ev.summarize()
-    assert s["AP_S"] == 1.0 and s["AP_L"] == 1.0 and s["AP_M"] == 0.0 or \
-        s["AP_M"] == 0.0  # no medium gt -> AP_M stays 0 (no -1 left)
+    assert s["AP_S"] == 1.0 and s["AP_L"] == 1.0
+    assert s["AP_M"] == -1.0   # no medium GT -> -1 (pycocotools convention)
     assert s["AP"] == 1.0
 
 

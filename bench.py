@@ -52,9 +52,16 @@ def main():
 
     def run_iters(variables, ev, states):
         """Whole timing loop on device: removes host dispatch latency
-        (significant through a remote-TPU tunnel) from the measurement."""
+        (significant through a remote-TPU tunnel) from the measurement.
+
+        The event input is perturbed by the carried state so no part of
+        the network is loop-invariant — otherwise XLA hoists the
+        carry-independent stage-1 work out of the loop and inflates the
+        number."""
         def body(carry, _):
-            preds, states = infer(variables, ev, carry)
+            # cheap data dependency: one element of the carried LSTM state
+            bump = (carry[0][0][0, 0, 0, 0] > 0).astype(jnp.uint8)
+            preds, states = infer(variables, ev + bump, carry)
             return states, preds[0, 0, 0]
         states, outs = jax.lax.scan(body, states, None, length=iters)
         return outs, states

@@ -14,13 +14,15 @@ import jax
 import jax.numpy as jnp
 
 
-def timed(name, fn, *args, iters=20):
-    out = jax.jit(lambda *a: jax.lax.scan(
-        lambda c, _: (fn(*a), None), fn(*args), None, length=iters)[0])
-    r = out(*args)
+def timed(name, fn, init_carry, iters=20):
+    """fn(carry) -> carry. The carry MUST feed every part of fn or XLA
+    hoists the invariant work out of the timing loop."""
+    out = jax.jit(lambda c0: jax.lax.scan(
+        lambda c, _: (fn(c), None), c0, None, length=iters)[0])
+    r = out(init_carry)
     jax.block_until_ready(r)
     t0 = time.perf_counter()
-    r = out(*args)
+    r = out(init_carry)
     jax.block_until_ready(r)
     dt = (time.perf_counter() - t0) / iters
     print(f"{name:28s} {dt * 1e3:8.2f} ms/iter")
@@ -41,39 +43,50 @@ def main():
 
     feats, _ = jax.jit(det.forward_backbone)(v, x, states)
 
+    def bump_input(base, carry_leaf):
+        """Make the input depend on the carry so nothing is hoisted.
+        Comparison against a huge constant is always false at runtime but
+        XLA cannot fold it away."""
+        bump = (carry_leaf.reshape(-1)[0].astype(jnp.float32) > 1e30)
+        return base + bump.astype(base.dtype)
+
     # full backbone step
-    def bb(v, x, states):
-        f, ns = det.forward_backbone(v, x, states)
+    def bb(states):
+        f, ns = det.forward_backbone(v, bump_input(x, states[0][0]), states)
         return ns
 
-    t_bb = timed("backbone step", lambda s: bb(v, x, s), states)
+    t_bb = timed("backbone step", bb, states)
 
     # per-stage
     from leod_tpu.models.backbone import RVTStage
     xi = x
     cfgb = cfg.model.backbone
+    stage_times = []
     for k in range(4):
         stage = RVTStage(cfgb, cfgb.stage_dims[k],
                          cfgb.patch_size if k == 0 else 2,
                          cfgb.num_blocks[k], dtype=jnp.bfloat16)
         st = (jnp.zeros_like(feats[k + 1]), jnp.zeros_like(feats[k + 1]))
-        sv = stage.init(jax.random.PRNGKey(k), xi, st)
-        timed(f"  stage{k + 1} "
-              f"{tuple(feats[k + 1].shape[1:])}",
-              lambda s, sv=sv, xi=xi, stage=stage: stage.apply(sv, xi, s)[1],
-              st)
+        sv = jax.jit(stage.init)(jax.random.PRNGKey(k), xi, st)
+
+        def stage_fn(s, sv=sv, xi=xi, stage=stage):
+            return stage.apply(sv, bump_input(xi, s[0]), s)[1]
+
+        stage_times.append(timed(
+            f"  stage{k + 1} {tuple(feats[k + 1].shape[1:])}", stage_fn, st))
         xi = feats[k + 1]
 
-    # fpn + head on one frame per batch row
+    # fpn + head: carry the input features through the loop
     def det_fn(f):
         preds, _ = det.forward_detect(v, f, train=False)
-        # return something state-shaped for the scan trick
-        return {k: ff for k, ff in f.items()}
+        bump = (preds[0, 0, 0].astype(jnp.float32) > 1e30)
+        return {s: ff + bump.astype(ff.dtype) for s, ff in f.items()}
 
     fpn_in = {s: feats[s] for s in (2, 3, 4)}
-    timed("fpn+head+decode", det_fn, fpn_in)
+    t_head = timed("fpn+head+decode", det_fn, fpn_in)
 
-    print(f"\nbackbone-only ceiling: {B / t_bb:.0f} frames/s")
+    print(f"\nsum stages: {sum(stage_times) * 1e3:.2f} ms; "
+          f"backbone-only ceiling: {B / t_bb:.0f} frames/s")
 
 
 if __name__ == "__main__":

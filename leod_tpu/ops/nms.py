@@ -47,11 +47,12 @@ def nms_mask(boxes_xyxy: jnp.ndarray, scores: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("num_classes", "pre_topk",
-                                             "max_dets", "class_agnostic"))
+                                             "max_dets", "class_agnostic",
+                                             "use_pallas"))
 def postprocess(predictions: jnp.ndarray, num_classes: int,
                 conf_threshold: float = 0.1, nms_threshold: float = 0.45,
                 pre_topk: int = 1000, max_dets: int = 300,
-                class_agnostic: bool = False
+                class_agnostic: bool = False, use_pallas: bool = False
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """YOLOX postprocess with fixed output shapes.
 
@@ -82,7 +83,11 @@ def postprocess(predictions: jnp.ndarray, num_classes: int,
             b_nms = b
         else:
             b_nms = b + cls_id_i[order][:, None] * _CLASS_OFFSET
-        keep = nms_mask(b_nms, top_score, nms_threshold, valid)
+        if use_pallas:
+            from .nms_pallas import nms_mask_pallas
+            keep = nms_mask_pallas(b_nms, nms_threshold, valid)
+        else:
+            keep = nms_mask(b_nms, top_score, nms_threshold, valid)
         det = jnp.concatenate(
             [b, obj_i[order, None], cls_conf_i[order, None],
              cls_id_i[order, None]], axis=-1)               # [k, 7]

@@ -23,7 +23,12 @@ BackboneFeatures = Dict[int, jnp.ndarray]  # 1-indexed stage -> [B, h, w, C]
 
 
 class RVTStage(nn.Module):
-    """One backbone stage (reference: maxvit_rnn.py:142-201)."""
+    """One backbone stage (reference: maxvit_rnn.py:142-201).
+
+    Split into `pre` (downsample + attention, NOT recurrent) and `cell`
+    (the ConvLSTM): the pre part of stage 1 can then be batched over all
+    timesteps of a window at once (big MXU-friendly GEMMs) while only
+    the recurrent chain is scanned."""
     cfg: BackboneConfig
     stage_dim: int
     downsample_factor: int
@@ -31,42 +36,54 @@ class RVTStage(nn.Module):
     enable_token_masking: bool = False
     dtype: Optional[jnp.dtype] = None
 
-    @nn.compact
+    def setup(self):
+        c = self.cfg
+        self.down = ConvDownsample(self.stage_dim, self.downsample_factor,
+                                   overlap=c.overlap_downsample,
+                                   norm_affine=c.norm_affine,
+                                   norm_eps=c.norm_eps, dtype=self.dtype,
+                                   name="down")
+        blocks = []
+        for i in range(self.num_blocks):
+            for kind, skip in (("window", i == 0), ("grid", False)):
+                blocks.append(PartitionAttention(
+                    self.stage_dim, c.partition_size, kind,
+                    # downsample output is already LayerNormed
+                    skip_first_norm=skip, dim_head=c.dim_head,
+                    attention_bias=c.attention_bias, mlp_ratio=c.mlp_ratio,
+                    mlp_act=c.mlp_act, mlp_gated=c.mlp_gated,
+                    mlp_bias=c.mlp_bias, ls_init_value=c.ls_init_value,
+                    norm_eps=c.norm_eps, dtype=self.dtype,
+                    name=f"block{i}_{kind}"))
+        self.blocks = blocks
+        self.lstm = ConvLSTMCell(self.stage_dim, c.lstm_dws_conv,
+                                 c.lstm_dws_conv_only_hidden,
+                                 c.lstm_dws_conv_kernel_size,
+                                 dtype=self.dtype, name="lstm")
+        if self.enable_token_masking:
+            self.mask_token = self.param(
+                "mask_token", nn.initializers.normal(0.02),
+                (1, 1, 1, self.stage_dim))
+
+    def pre(self, x: jnp.ndarray,
+            token_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        x = self.down(x)
+        if self.enable_token_masking and token_mask is not None:
+            x = jnp.where(token_mask[..., None],
+                          self.mask_token.astype(x.dtype), x)
+        for blk in self.blocks:
+            x = blk(x)
+        return x
+
+    def cell(self, y: jnp.ndarray, state: StageState
+             ) -> Tuple[jnp.ndarray, StageState]:
+        h, c = self.lstm(y, state)
+        return h, (h, c)
+
     def __call__(self, x: jnp.ndarray, state: StageState,
                  token_mask: Optional[jnp.ndarray] = None
                  ) -> Tuple[jnp.ndarray, StageState]:
-        c = self.cfg
-        x = ConvDownsample(self.stage_dim, self.downsample_factor,
-                           overlap=c.overlap_downsample,
-                           norm_affine=c.norm_affine, norm_eps=c.norm_eps,
-                           dtype=self.dtype, name="down")(x)
-        if self.enable_token_masking:
-            mask_token = self.param(
-                "mask_token", nn.initializers.normal(0.02),
-                (1, 1, 1, self.stage_dim))
-            if token_mask is not None:
-                x = jnp.where(token_mask[..., None], mask_token.astype(x.dtype), x)
-        for i in range(self.num_blocks):
-            # downsample output is already LayerNormed -> skip first norm
-            x = PartitionAttention(
-                self.stage_dim, c.partition_size, "window",
-                skip_first_norm=(i == 0), dim_head=c.dim_head,
-                attention_bias=c.attention_bias, mlp_ratio=c.mlp_ratio,
-                mlp_act=c.mlp_act, mlp_gated=c.mlp_gated, mlp_bias=c.mlp_bias,
-                ls_init_value=c.ls_init_value, norm_eps=c.norm_eps,
-                dtype=self.dtype, name=f"block{i}_window")(x)
-            x = PartitionAttention(
-                self.stage_dim, c.partition_size, "grid",
-                skip_first_norm=False, dim_head=c.dim_head,
-                attention_bias=c.attention_bias, mlp_ratio=c.mlp_ratio,
-                mlp_act=c.mlp_act, mlp_gated=c.mlp_gated, mlp_bias=c.mlp_bias,
-                ls_init_value=c.ls_init_value, norm_eps=c.norm_eps,
-                dtype=self.dtype, name=f"block{i}_grid")(x)
-        h, cst = ConvLSTMCell(self.stage_dim, c.lstm_dws_conv,
-                              c.lstm_dws_conv_only_hidden,
-                              c.lstm_dws_conv_kernel_size,
-                              dtype=self.dtype, name="lstm")(x, state)
-        return h, (h, cst)
+        return self.cell(self.pre(x, token_mask), state)
 
 
 class RVTBackbone(nn.Module):
@@ -75,20 +92,42 @@ class RVTBackbone(nn.Module):
     cfg: BackboneConfig
     dtype: Optional[jnp.dtype] = None
 
-    @nn.compact
+    def setup(self):
+        c = self.cfg
+        stages = []
+        for k, (dim, nblk) in enumerate(zip(c.stage_dims, c.num_blocks)):
+            stages.append(RVTStage(
+                c, dim, c.patch_size if k == 0 else 2, nblk,
+                enable_token_masking=c.enable_masking and k == 0,
+                dtype=self.dtype, name=f"stage{k + 1}"))
+        self.stages = stages
+
     def __call__(self, x: jnp.ndarray, states: BackboneStates,
                  token_mask: Optional[jnp.ndarray] = None
                  ) -> Tuple[BackboneFeatures, BackboneStates]:
-        c = self.cfg
         features: BackboneFeatures = {}
         new_states: List[StageState] = []
-        for k, (dim, nblk) in enumerate(zip(c.stage_dims, c.num_blocks)):
-            factor = c.patch_size if k == 0 else 2
-            masking = c.enable_masking and k == 0
-            x, st = RVTStage(c, dim, factor, nblk,
-                             enable_token_masking=masking, dtype=self.dtype,
-                             name=f"stage{k + 1}")(
-                x, states[k], token_mask if k == 0 else None)
+        for k, stage in enumerate(self.stages):
+            x, st = stage(x, states[k], token_mask if k == 0 else None)
+            features[k + 1] = x
+            new_states.append(st)
+        return features, tuple(new_states)
+
+    def stage1_pre(self, x: jnp.ndarray,
+                   token_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Non-recurrent part of stage 1 — batchable over timesteps."""
+        return self.stages[0].pre(x, token_mask)
+
+    def from_stage1(self, y1: jnp.ndarray, states: BackboneStates
+                    ) -> Tuple[BackboneFeatures, BackboneStates]:
+        """Continue from precomputed stage-1 attention output."""
+        features: BackboneFeatures = {}
+        new_states: List[StageState] = []
+        x, st = self.stages[0].cell(y1, states[0])
+        features[1] = x
+        new_states.append(st)
+        for k in range(1, len(self.stages)):
+            x, st = self.stages[k](x, states[k])
             features[k + 1] = x
             new_states.append(st)
         return features, tuple(new_states)

@@ -71,6 +71,18 @@ class Detector:
         return self.backbone.apply({"params": variables["params"]["backbone"]},
                                    x.astype(self.dtype), states, token_mask)
 
+    def forward_stage1_pre(self, variables: Variables, x: jnp.ndarray):
+        """Stage-1 downsample+attention only; batch over timesteps freely."""
+        return self.backbone.apply({"params": variables["params"]["backbone"]},
+                                   x.astype(self.dtype),
+                                   method="stage1_pre")
+
+    def forward_from_stage1(self, variables: Variables, y1: jnp.ndarray,
+                            states: BackboneStates):
+        """Recurrent remainder given precomputed stage-1 features."""
+        return self.backbone.apply({"params": variables["params"]["backbone"]},
+                                   y1, states, method="from_stage1")
+
     def forward_detect(self, variables: Variables, feats,
                        train: bool = False):
         """FPN + head over harvested frames.

@@ -33,13 +33,34 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def _scan_backbone(det: Detector, variables, states0, ev_seq):
+def _scan_backbone(det: Detector, variables, states0, ev_seq,
+                   prebatch_stage1: bool = True):
     """Scan the backbone over time; returns FPN-stage features per step.
 
     ev_seq [L, B, H, W, C] (any dtype; cast to compute dtype here).
     Returns (final_states, {2: [L,B,...], 3: ..., 4: ...}).
+
+    prebatch_stage1: run stage 1's non-recurrent downsample+attention on
+    all L*B frames in ONE batched call before the scan — bigger GEMMs for
+    the small-channel stage, and the remat boundary no longer forces it
+    to be recomputed per step in the backward pass. Only the recurrent
+    chain (stage-1 LSTM + stages 2-4) is scanned.
     """
     stages = det.cfg.fpn.in_stages
+
+    if prebatch_stage1 and not det.cfg.backbone.enable_masking:
+        L, B = ev_seq.shape[:2]
+        flat = ev_seq.reshape((L * B,) + ev_seq.shape[2:])
+        y1 = det.forward_stage1_pre(variables, flat)
+        y1 = y1.reshape((L, B) + y1.shape[1:])
+
+        @functools.partial(jax.checkpoint, prevent_cse=False)
+        def body(carry, y_t):
+            feats, new_states = det.forward_from_stage1(variables, y_t, carry)
+            return new_states, tuple(feats[s] for s in stages)
+
+        final_states, feats_seq = jax.lax.scan(body, states0, y1)
+        return final_states, dict(zip(stages, feats_seq))
 
     @functools.partial(jax.checkpoint, prevent_cse=False)
     def body(carry, x_t):

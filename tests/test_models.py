@@ -139,3 +139,22 @@ def test_loss_gradients_finite(det_and_vars):
     # gradient flows into the backbone too (through the feature path)
     g_bb = jax.tree.leaves(grads["backbone"])
     assert any(np.abs(np.asarray(g)).max() > 0 for g in g_bb)
+
+
+def test_prebatch_stage1_equivalence(det_and_vars):
+    """The pre-batched stage-1 scan must match the plain per-step scan."""
+    from leod_tpu.train.step import _scan_backbone
+    det, variables = det_and_vars
+    rng = np.random.default_rng(7)
+    ev = jnp.asarray(rng.integers(0, 40, (3, 2, 64, 96, 20)).astype(np.uint8))
+    states = det.init_states(2, jnp.float32)
+    s_a, f_a = jax.jit(lambda v, e, s: _scan_backbone(
+        det, v, s, e, prebatch_stage1=False))(variables, ev, states)
+    s_b, f_b = jax.jit(lambda v, e, s: _scan_backbone(
+        det, v, s, e, prebatch_stage1=True))(variables, ev, states)
+    for k in f_a:
+        np.testing.assert_allclose(np.asarray(f_a[k]), np.asarray(f_b[k]),
+                                   rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_a), jax.tree.leaves(s_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)

@@ -34,17 +34,18 @@ class TrainState(NamedTuple):
 
 
 def _scan_backbone(det: Detector, variables, states0, ev_seq,
-                   prebatch_stage1: bool = True):
+                   prebatch_stage1: bool = False):
     """Scan the backbone over time; returns FPN-stage features per step.
 
     ev_seq [L, B, H, W, C] (any dtype; cast to compute dtype here).
     Returns (final_states, {2: [L,B,...], 3: ..., 4: ...}).
 
     prebatch_stage1: run stage 1's non-recurrent downsample+attention on
-    all L*B frames in ONE batched call before the scan — bigger GEMMs for
-    the small-channel stage, and the remat boundary no longer forces it
-    to be recomputed per step in the backward pass. Only the recurrent
-    chain (stage-1 LSTM + stages 2-4) is scanned.
+    all L*B frames in ONE batched call before the scan. Measured on v5e
+    this is ~7% SLOWER for training (storing the big stage-1 activations
+    for the backward costs more HBM traffic than remat recompute), and
+    XLA already performs the equivalent pipelining for inference — so it
+    stays off by default; kept as an option for future hardware.
     """
     stages = det.cfg.fpn.in_stages
 

@@ -330,12 +330,16 @@ def harvest_frames(batch: dict, frames_per_slot: int, max_gt: int,
 
 
 class Prefetcher:
-    """Background-thread prefetch wrapper around any batch iterator."""
+    """Background-thread prefetch wrapper around any batch iterator.
+    Exceptions raised inside the prefetch thread are re-raised in the
+    consumer (a silently-truncated epoch must never look like a clean
+    end-of-iteration)."""
 
     def __init__(self, it, depth: int = 2):
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._it = it
         self._done = object()
+        self._error: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._fill, daemon=True)
         self._thread.start()
 
@@ -343,6 +347,8 @@ class Prefetcher:
         try:
             for x in self._it:
                 self._q.put(x)
+        except BaseException as e:                    # noqa: BLE001
+            self._error = e
         finally:
             self._q.put(self._done)
 
@@ -350,5 +356,7 @@ class Prefetcher:
         while True:
             x = self._q.get()
             if x is self._done:
+                if self._error is not None:
+                    raise self._error
                 return
             yield x

@@ -97,14 +97,6 @@ def generate_sequence(seq_dir: str, rng: np.random.Generator,
         np.add.at(frame, (ch, yi, xi), 15)
         for o in objs:
             _draw_box_events(frame, o["x"], o["y"], o["w"], o["h"], rng)
-            o["x"] += o["vx"]
-            o["y"] += o["vy"]
-            if o["x"] < 0 or o["x"] + o["w"] > w - 1:
-                o["vx"] *= -1
-                o["x"] = np.clip(o["x"], 0, w - 1 - o["w"])
-            if o["y"] < 0 or o["y"] + o["h"] > h - 1:
-                o["vy"] *= -1
-                o["y"] = np.clip(o["y"], 0, h - 1 - o["h"])
         frames[t] = np.clip(frame, 0, 255).astype(np.uint8)
 
         is_labeled = (t >= first_label_repr
@@ -123,6 +115,18 @@ def generate_sequence(seq_dir: str, rng: np.random.Generator,
                 row["class_confidence"] = 1.0
                 row["objectness"] = 1.0
                 label_rows.append(row)
+
+        # advance objects AFTER drawing + labeling so GT boxes align with
+        # the rendered events of this frame
+        for o in objs:
+            o["x"] += o["vx"]
+            o["y"] += o["vy"]
+            if o["x"] < 0 or o["x"] + o["w"] > w - 1:
+                o["vx"] *= -1
+                o["x"] = np.clip(o["x"], 0, w - 1 - o["w"])
+            if o["y"] < 0 or o["y"] + o["h"] > h - 1:
+                o["vy"] *= -1
+                o["y"] = np.clip(o["y"], 0, h - 1 - o["h"])
 
     h5_name = ("event_representations_ds2_nearest.h5" if ds2
                else "event_representations.h5")

@@ -77,10 +77,11 @@ def run_tta_eval(det: Detector, variables, cfg: ExperimentConfig,
     if conf_threshold is not None:
         import dataclasses
         pp = dataclasses.replace(pp, confidence_threshold=conf_threshold)
+    from ..train.trainer import default_frames_per_slot
     B = batch_size or cfg.training.batch_size_eval
     n_cls = cfg.model.head.num_classes
     L = dst.sequence_length
-    M = frames_per_slot or max(2, (L + 4) // 5 + 1)
+    M = frames_per_slot or default_frames_per_slot(L)
     eval_step = jax.jit(make_eval_step(det), donate_argnums=(1,))
     results: Dict[str, _SeqResult] = {}
 

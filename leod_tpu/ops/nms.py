@@ -109,7 +109,14 @@ def postprocess(predictions: jnp.ndarray, num_classes: int,
 
 def nms_numpy(boxes_xyxy: np.ndarray, scores: np.ndarray,
               iou_threshold: float) -> np.ndarray:
-    """Host reference NMS (returns kept indices, score-desc order)."""
+    """Host NMS (returns kept indices, score-desc order). Uses the native
+    C++ library when available; pure-numpy fallback below."""
+    if len(boxes_xyxy):
+        from ..native import nms as native_nms
+        kept = native_nms(np.asarray(boxes_xyxy), np.asarray(scores), None,
+                          iou_threshold)
+        if kept is not None:
+            return kept
     order = np.argsort(-scores, kind="stable")
     boxes = boxes_xyxy[order]
     x0, y0, x1, y1 = boxes.T
@@ -135,5 +142,10 @@ def batched_nms_numpy(boxes_xyxy: np.ndarray, scores: np.ndarray,
                       class_ids: np.ndarray, iou_threshold: float) -> np.ndarray:
     if len(boxes_xyxy) == 0:
         return np.zeros((0,), np.int64)
+    from ..native import nms as native_nms
+    kept = native_nms(np.asarray(boxes_xyxy), np.asarray(scores),
+                      np.asarray(class_ids), iou_threshold)
+    if kept is not None:
+        return kept
     off = boxes_xyxy + class_ids[:, None].astype(np.float64) * _CLASS_OFFSET
     return nms_numpy(off, scores, iou_threshold)

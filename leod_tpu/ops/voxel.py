@@ -66,11 +66,14 @@ def mixed_density_stack(x: jnp.ndarray, y: jnp.ndarray, pol: jnp.ndarray,
                         time: jnp.ndarray, valid: jnp.ndarray,
                         bins: int, height: int, width: int,
                         count_cutoff: Optional[int] = None) -> jnp.ndarray:
-    """MixedDensityEventStack (reference: representations.py:132-221):
-    log-spaced temporal bins — bin i covers the LAST 2^-(bins-1-i)
-    fraction of the window; each event lands in all bins covering it via
-    cumulative sum over bins. Output [bins, H, W] int8-ish counts of
-    polarity (-1/+1 summed), clipped.
+    """MixedDensityEventStack (reference: representations.py:167-221).
+
+    Log-spaced temporal bins anchored at the window START: an event at
+    normalized time t lands in raw bin floor(bins + log2(t)) (clamped),
+    so the earliest sliver fills bin 0 and the latest events bin N-1;
+    the cumulative sum makes channel i hold ALL events up to its
+    exponential time cutoff 2^(i-bins). Values are signed polarity
+    (+1/-1), output [bins, H, W], optionally clipped.
     """
     big = jnp.iinfo(jnp.int32).max
     t = time.astype(jnp.int32)
@@ -78,9 +81,8 @@ def mixed_density_stack(x: jnp.ndarray, y: jnp.ndarray, pol: jnp.ndarray,
     t1 = jnp.max(jnp.where(valid, t, -big))
     t_norm = (t - t0).astype(jnp.float32) / jnp.maximum(
         (t1 - t0).astype(jnp.float32), 1.0)
-    # assign each event its finest bin: index by 1 - t in log2 scale
-    frac = jnp.clip(1.0 - t_norm, 1e-6, 1.0)
-    bin_f = jnp.floor(-jnp.log2(frac))
+    t_norm = jnp.clip(t_norm, 1e-6, 1.0 - 1e-6)
+    bin_f = jnp.floor(bins + jnp.log2(t_norm))
     bin_idx = jnp.clip(bin_f.astype(jnp.int32), 0, bins - 1)
     val = jnp.where(pol > 0, 1, -1).astype(jnp.int32)
     flat = (x.astype(jnp.int32) + width * y.astype(jnp.int32)
@@ -89,8 +91,9 @@ def mixed_density_stack(x: jnp.ndarray, y: jnp.ndarray, pol: jnp.ndarray,
     flat = jnp.where(valid, flat, size)
     hist = jnp.zeros((size,), jnp.int32).at[flat].add(val, mode="drop")
     hist = hist.reshape(bins, height, width)
-    # cumulative: coarser bins include finer ones (representations.py:126-129)
-    hist = jnp.cumsum(hist[::-1], axis=0)[::-1]
+    # channel i accumulates bins 0..i (reference cumsum_channel,
+    # representations.py:126-129)
+    hist = jnp.cumsum(hist, axis=0)
     if count_cutoff is not None:
         hist = jnp.clip(hist, -count_cutoff, count_cutoff)
     return hist

@@ -56,12 +56,11 @@ def verify_pseudo_dataset(pse_root: str, dst: DatasetConfig,
             gt_lab, kept = orig.labels_at_repr_idx(int(repr_idx))
             if use_gt and gt_lab is not None and kept:
                 # GT frames retained bit-exact (predict.py:114-115);
-                # compare as unordered sets of rows
+                # compare as unordered sets of rows. Both readers return
+                # labels at loading resolution (FrameLabels downsamples
+                # stored full-res labels on access).
                 a = np.sort(lab.arr, axis=0)
-                # orig labels at loading res; pseudo saved at original res
-                g = gt_lab if not dst.downsample_by_factor_2 else \
-                    gt_lab.scale(2.0)
-                b = np.sort(g.arr, axis=0)
+                b = np.sort(gt_lab.arr, axis=0)
                 assert a.shape == b.shape, "GT frame box count changed"
                 assert np.abs(a - b).max() < 1e-3, "GT labels not retained"
             else:
@@ -80,7 +79,6 @@ def score_pseudo_dataset(pse_root: str, dst: DatasetConfig,
     Applies the pseudo-label confidence thresholds + ignore filter before
     comparison (val_dst.py:36-45)."""
     pse_dst = _pseudo_cfg(dst, pse_root)
-    scale = 2.0 if dst.downsample_by_factor_2 else 1.0
     gts, preds = [], []
     for d in list_sequence_dirs(pse_root, "train"):
         pse = EventSequence(d, pse_dst)
@@ -94,9 +92,8 @@ def score_pseudo_dataset(pse_root: str, dst: DatasetConfig,
             if p_obj is None:
                 pse_lab = Boxes.empty(lab.size_hw)
             else:
+                # FrameLabels already rescales to loading resolution
                 pse_lab = pse.frame_labels[p_obj]
-                if scale != 1:             # back to loading resolution
-                    pse_lab = pse_lab.scale(1.0 / scale)
                 keep = (filter_with_thresholds(
                             pse_lab.objectness, pse_lab.class_id,
                             tuple(pl_cfg.obj_thresh))

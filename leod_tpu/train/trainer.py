@@ -36,9 +36,19 @@ from .step import TrainState, make_eval_step, make_train_step
 
 
 def default_frames_per_slot(seq_len: int, use_label_every: int = 1) -> int:
-    """Static per-slot harvest budget: real Gen1/Gen4 label at <= 4 Hz vs
-    20 Hz reprs, so ceil(L/5)+1 covers it with slack."""
-    return max(2, (seq_len + 4) // 5 + 1)
+    """Static per-slot harvest budget.
+
+    Real Gen1/Gen4 GT labels arrive at <= 4 Hz vs 20 Hz reprs, so
+    ceil(L/5)+1 covers them with slack. When training on pseudo-dense
+    datasets with `use_label_every` subsampling, the kept pseudo frames
+    are denser: budget additionally covers ceil(L/use_label_every)+1.
+    Fully-dense pseudo training (use_label_every == 1) should set
+    training.max_det_frames explicitly (the loader reports
+    dropped_frames when the budget is too small)."""
+    budget = max(2, (seq_len + 4) // 5 + 1)
+    if use_label_every > 1:
+        budget = max(budget, -(-seq_len // use_label_every) + 1)
+    return budget
 
 
 class MetricLogger:
@@ -168,14 +178,17 @@ class Trainer:
 
     def latest_checkpoint(self) -> Optional[str]:
         """Newest checkpoint in the run dir for preemption auto-resume
-        (reference: train.py:71-95; corrupted ckpts are skipped)."""
+        (reference: train.py:71-95; corrupted ckpts are skipped).
+
+        Probes candidates via orbax metadata only — the actual restore
+        happens once, in the caller."""
         cands = [os.path.join(self.run_dir, d)
                  for d in os.listdir(self.run_dir)
                  if d.startswith("ckpt_") and
                  os.path.isdir(os.path.join(self.run_dir, d))]
         for path in sorted(cands, key=os.path.getmtime, reverse=True):
             try:
-                self._ckpt.restore(os.path.abspath(path))
+                self._ckpt.metadata(os.path.abspath(path))
                 return path
             except Exception as e:                     # corrupted: fall back
                 print(f"skipping corrupted checkpoint {path}: {e}")
@@ -240,8 +253,10 @@ class Trainer:
         last_ckpt_time = time.time()
         t0 = time.time()
         frames_seen = 0
+        # track the step on the host: int(state.step) would force a device
+        # sync every iteration and stall the input pipeline
+        step = int(state.step)
         for batch in Prefetcher(iter(loader), depth=3):
-            step = int(state.step)
             if step >= total:
                 break
             hb = harvest_frames(batch, M, cfg.model.head.max_gt,
@@ -255,11 +270,12 @@ class Trainer:
                 from ..parallel.mesh import shard_batch
                 dev = shard_batch(self.mesh, dev)
             state, metrics = train_step(state, dev)
+            step += 1          # steps completed (host-tracked; no sync)
             frames_seen += batch["ev"].shape[0] * batch["ev"].shape[1]
-            if (step + 1) % log_every == 0 or step == 0:
+            if step % log_every == 0 or step == 1:
                 dt = time.time() - t0
-                rec = {"step": step + 1,
-                       "lr": float(self.schedule(step)) if callable(
+                rec = {"step": step,
+                       "lr": float(self.schedule(step - 1)) if callable(
                            self.schedule) else self.schedule,
                        "frames_per_s": frames_seen / max(dt, 1e-6),
                        **{k: float(v) for k, v in metrics.items()}}
@@ -269,12 +285,12 @@ class Trainer:
             if (time.time() - last_ckpt_time) / 60 >= cfg.training.ckpt_every_min:
                 self.save_checkpoint(state, "last")
                 last_ckpt_time = time.time()
-            if (cfg.training.val_check_interval and (step + 1) %
+            if (cfg.training.val_check_interval and step %
                     cfg.training.val_check_interval == 0):
                 m = run_streaming_eval(self.det, state.variables, cfg,
                                        split=eval_split)
                 if m:
-                    self.logger.log({"step": step + 1,
+                    self.logger.log({"step": step,
                                      **{f"val/{k}": v for k, v in m.items()}})
                     if m["AP"] > best_ap:
                         best_ap = m["AP"]

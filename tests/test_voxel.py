@@ -70,3 +70,28 @@ def test_batch_vmap():
     for b in range(B):
         want = numpy_stacked_histogram(x[b], y[b], pol[b], t[b], bins, h, w)
         np.testing.assert_array_equal(out[b], want)
+
+
+def test_mixed_density_matches_reference_math():
+    from leod_tpu.ops.voxel import mixed_density_stack
+    rng = np.random.default_rng(2)
+    n, h, w, bins = 2000, 24, 32, 4
+    x = rng.integers(0, w, n)
+    y = rng.integers(0, h, n)
+    pol = rng.integers(0, 2, n)
+    t = np.sort(rng.integers(0, 100_000, n))
+
+    # straightforward numpy version of representations.py:167-221
+    out = np.zeros((bins, h, w), np.int64)
+    tn = np.clip((t - t[0]) / max(t[-1] - t[0], 1), 1e-6, 1 - 1e-6)
+    bi = np.clip(np.floor(bins + np.log2(tn)).astype(int), 0, bins - 1)
+    np.add.at(out, (bi, y, x), np.where(pol > 0, 1, -1))
+    want = np.cumsum(out, axis=0)
+
+    got = np.asarray(mixed_density_stack(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray(pol), jnp.asarray(t),
+        jnp.ones(n, bool), bins=bins, height=h, width=w))
+    np.testing.assert_array_equal(got, want)
+    # earliest events live in channel 0; last channel holds everything
+    assert np.abs(got[0]).sum() <= np.abs(got[-1]).sum()
+    assert got[-1].sum() == np.where(pol > 0, 1, -1).sum()

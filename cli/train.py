@@ -44,6 +44,8 @@ def main():
     ap.add_argument("--checkpoint", default=None, help="full-state resume")
     ap.add_argument("--auto-resume", action="store_true",
                     help="resume from the newest checkpoint in the run dir")
+    ap.add_argument("--profile-steps", type=int, default=0,
+                    help="capture a jax.profiler trace of N steps")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--fp32", action="store_true")
@@ -107,7 +109,8 @@ def main():
     elif args.weight:
         state = trainer.load_weights(
             args.weight, trainer.init_state(tr.batch_size_train, args.seed))
-    final = trainer.fit(seed=args.seed, state=state)
+    final = trainer.fit(seed=args.seed, state=state,
+                        profile_steps=args.profile_steps)
     print(f"done at step {int(final.step)}")
 
 

@@ -11,3 +11,20 @@ Reference behavior surveyed in SURVEY.md (citations point into
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level exports (keep `import leod_tpu` light)."""
+    if name == "Detector":
+        from .models.detector import Detector
+        return Detector
+    if name == "Trainer":
+        from .train.trainer import Trainer
+        return Trainer
+    if name == "experiment_preset":
+        from .config import experiment_preset
+        return experiment_preset
+    if name == "run_streaming_eval":
+        from .train.trainer import run_streaming_eval
+        return run_streaming_eval
+    raise AttributeError(name)

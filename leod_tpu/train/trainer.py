@@ -238,7 +238,11 @@ class Trainer:
     # -- loop ---------------------------------------------------------------
     def fit(self, max_steps: Optional[int] = None, seed: int = 0,
             eval_split: str = "val", state: Optional[TrainState] = None,
-            log_every: int = 50) -> TrainState:
+            log_every: int = 50, profile_steps: int = 0) -> TrainState:
+        """profile_steps > 0 captures a jax.profiler trace of that many
+        steps (starting at step 5) into <run_dir>/profile for
+        TensorBoard/XProf (SURVEY.md section 5: tracing as a first-class
+        feature, unlike the reference's inert timers)."""
         cfg = self.cfg
         total = max_steps or cfg.training.max_steps
         loader, B = self.make_train_loader(seed)
@@ -269,8 +273,14 @@ class Trainer:
             if self.mesh is not None:
                 from ..parallel.mesh import shard_batch
                 dev = shard_batch(self.mesh, dev)
+            if profile_steps and step == 5:
+                jax.profiler.start_trace(os.path.join(self.run_dir, "profile"))
             state, metrics = train_step(state, dev)
             step += 1          # steps completed (host-tracked; no sync)
+            if profile_steps and step == 5 + profile_steps:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                print(f"profile trace -> {self.run_dir}/profile", flush=True)
             frames_seen += batch["ev"].shape[0] * batch["ev"].shape[1]
             if step % log_every == 0 or step == 1:
                 dt = time.time() - t0

@@ -260,19 +260,30 @@ class Trainer:
         # track the step on the host: int(state.step) would force a device
         # sync every iteration and stall the input pipeline
         step = int(state.step)
-        for batch in Prefetcher(iter(loader), depth=3):
+
+        def device_batches():
+            """Harvest + host->device transfer inside the prefetch thread
+            so they overlap with device compute."""
+            for batch in loader:
+                hb = harvest_frames(batch, M, cfg.model.head.max_gt,
+                                    cfg.model.backbone.in_res_hw,
+                                    use_label_every=cfg.model.use_label_every,
+                                    ignore_label=cfg.model.head.ignore_label,
+                                    ignore_image=cfg.model.ignore_image)
+                dev = {k: hb[k] for k in ("ev", "is_first", "frame_t",
+                                          "frame_mask", "labels")}
+                if self.mesh is not None:
+                    from ..parallel.mesh import shard_batch
+                    dev = shard_batch(self.mesh, dev)
+                else:
+                    dev = jax.device_put(dev)
+                meta = {"frames": batch["ev"].shape[0] * batch["ev"].shape[1],
+                        "dropped_frames": hb["dropped_frames"]}
+                yield dev, meta
+
+        for dev, meta in Prefetcher(device_batches(), depth=3):
             if step >= total:
                 break
-            hb = harvest_frames(batch, M, cfg.model.head.max_gt,
-                                cfg.model.backbone.in_res_hw,
-                                use_label_every=cfg.model.use_label_every,
-                                ignore_label=cfg.model.head.ignore_label,
-                                ignore_image=cfg.model.ignore_image)
-            dev = {k: hb[k] for k in ("ev", "is_first", "frame_t",
-                                      "frame_mask", "labels")}
-            if self.mesh is not None:
-                from ..parallel.mesh import shard_batch
-                dev = shard_batch(self.mesh, dev)
             if profile_steps and step == 5:
                 jax.profiler.start_trace(os.path.join(self.run_dir, "profile"))
             state, metrics = train_step(state, dev)
@@ -281,7 +292,7 @@ class Trainer:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
                 print(f"profile trace -> {self.run_dir}/profile", flush=True)
-            frames_seen += batch["ev"].shape[0] * batch["ev"].shape[1]
+            frames_seen += meta["frames"]
             if step % log_every == 0 or step == 1:
                 dt = time.time() - t0
                 rec = {"step": step,
@@ -289,8 +300,8 @@ class Trainer:
                            self.schedule) else self.schedule,
                        "frames_per_s": frames_seen / max(dt, 1e-6),
                        **{k: float(v) for k, v in metrics.items()}}
-                if hb["dropped_frames"]:
-                    rec["dropped_frames"] = hb["dropped_frames"]
+                if meta["dropped_frames"]:
+                    rec["dropped_frames"] = meta["dropped_frames"]
                 self.logger.log(rec)
             if (time.time() - last_ckpt_time) / 60 >= cfg.training.ckpt_every_min:
                 self.save_checkpoint(state, "last")

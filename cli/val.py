@@ -67,8 +67,8 @@ def main():
     det = Detector(cfg.model, dtype=dtype)
     variables = det.init(jax.random.PRNGKey(0), batch_size=1)
     if args.ckpt:
-        import orbax.checkpoint as ocp
-        restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(args.ckpt))
+        from leod_tpu.train.trainer import load_checkpoint
+        restored = load_checkpoint(args.ckpt)
         variables = {"params": restored["params"],
                      "batch_stats": restored["batch_stats"]}
     if args.tta:

@@ -35,6 +35,24 @@ from .optim import make_optimizer
 from .step import TrainState, make_eval_step, make_train_step
 
 
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    """Restore an orbax checkpoint as plain numpy arrays.
+
+    Restoring as numpy is topology-independent: a checkpoint written on
+    TPU restores fine on CPU (plain restore() fails with a sharding
+    deserialization error across device types)."""
+    ckpt = ocp.PyTreeCheckpointer()
+    path = os.path.abspath(path)
+    meta = ckpt.metadata(path)
+    tree = meta
+    for attr in ("item_metadata", "tree"):
+        if hasattr(tree, attr):
+            tree = getattr(tree, attr)
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+    return ckpt.restore(path, restore_args=restore_args)
+
+
 def default_frames_per_slot(seq_len: int, use_label_every: int = 1) -> int:
     """Static per-slot harvest budget.
 
@@ -196,7 +214,7 @@ class Trainer:
 
     def load_weights(self, path: str, state: TrainState) -> TrainState:
         """Weight-only resume (reference: modules/detection.py:583-594)."""
-        restored = self._ckpt.restore(os.path.abspath(path))
+        restored = load_checkpoint(path)
         variables = {"params": restored["params"],
                      "batch_stats": restored["batch_stats"]}
         return state._replace(variables=variables)
@@ -206,7 +224,7 @@ class Trainer:
 
         Restores the optimizer state against the live optax pytree
         structure (orbax round-trips namedtuples as plain dicts)."""
-        restored = self._ckpt.restore(os.path.abspath(path))
+        restored = load_checkpoint(path)
         opt_state = jax.tree.unflatten(
             jax.tree.structure(state.opt_state),
             jax.tree.leaves(restored["opt_state"]))

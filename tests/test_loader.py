@@ -125,3 +125,41 @@ def test_harvest_padding_hw(dataset):
     # padded region is zero (bottom-right corner padding)
     assert h["ev"][:, :, 64:, :, :].sum() == 0
     assert h["ev"][:, :, :, 96:, :].sum() == 0
+
+
+def test_eval_loader_sharding_disjoint_cover(dataset):
+    cfg = _cfg(dataset)
+    seqs = open_split_sequences(cfg, "val")
+    assert len(seqs) == 4
+    seen = {}
+    for shard in range(2):
+        loader = EvalStreamLoader(seqs, cfg, batch_size=2,
+                                  shard_index=shard, num_shards=2)
+        for b in iter(loader):
+            for slot in range(2):
+                p = b["paths"][slot]
+                if p:
+                    seen.setdefault(p, set()).add(shard)
+    # every sequence appears in exactly one shard; all sequences covered
+    assert len(seen) == len(seqs)
+    assert all(len(shards) == 1 for shards in seen.values())
+
+
+def test_prefetcher_propagates_errors():
+    from leod_tpu.data.loader import Prefetcher
+
+    def boom():
+        yield 1
+        raise RuntimeError("loader crashed")
+
+    it = iter(Prefetcher(boom()))
+    assert next(it) == 1
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="loader crashed"):
+        next(it)
+
+
+def test_local_batch_slice_single_process():
+    from leod_tpu.parallel.distributed import local_batch_slice, process_shard
+    assert process_shard() == (0, 1)
+    assert local_batch_slice(8) == slice(0, 8)

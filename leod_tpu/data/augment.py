@@ -14,7 +14,7 @@ Frames are [C, H, W] (or [T, C, H, W]) numpy arrays; labels are
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import numpy as np

@@ -20,7 +20,7 @@ cls_conf] with CENTER coordinates (reference: labels.py:543-560).
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -14,7 +14,7 @@ t > 0.5s) so synthetic mAP is meaningful end to end.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import h5py
 import numpy as np

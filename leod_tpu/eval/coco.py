@@ -14,7 +14,7 @@ Verified against hand-computed cases in tests/test_coco.py.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 

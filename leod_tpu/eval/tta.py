@@ -8,7 +8,7 @@ with the Prophesee COCO protocol.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import numpy as np

@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--max-det-frames", type=int, default=None,
                     help="per-slot labeled-frame harvest budget")
     ap.add_argument("--weight", default=None, help="weight-only init ckpt")
+    ap.add_argument("--torch-weight", default=None,
+                    help="reference PyTorch .ckpt/.pth to convert for "
+                         "weight-only init (e.g. a reference teacher)")
     ap.add_argument("--checkpoint", default=None, help="full-state resume")
     ap.add_argument("--auto-resume", action="store_true",
                     help="resume from the newest checkpoint in the run dir")
@@ -51,8 +54,8 @@ def main():
     ap.add_argument("--fp32", action="store_true")
     args = ap.parse_args()
 
+    import jax
     if args.cpu:
-        import jax
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
@@ -109,6 +112,12 @@ def main():
     elif args.weight:
         state = trainer.load_weights(
             args.weight, trainer.init_state(tr.batch_size_train, args.seed))
+    elif args.torch_weight:
+        from leod_tpu.convert import check_compatible, load_torch_checkpoint
+        state = trainer.init_state(tr.batch_size_train, args.seed)
+        converted = load_torch_checkpoint(args.torch_weight)
+        check_compatible(converted, jax.device_get(state.variables))
+        state = state._replace(variables=jax.device_put(converted))
     final = trainer.fit(seed=args.seed, state=state,
                         profile_steps=args.profile_steps)
     print(f"done at step {int(final.step)}")

@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--split", default="test", choices=["val", "test"])
     ap.add_argument("--ckpt", default=None, help="checkpoint dir to load")
+    ap.add_argument("--torch-ckpt", default=None,
+                    help="reference PyTorch .ckpt/.pth to convert and load")
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--seq-len", type=int, default=None)
     ap.add_argument("--conf", type=float, default=0.001,
@@ -71,6 +73,11 @@ def main():
         restored = load_checkpoint(args.ckpt)
         variables = {"params": restored["params"],
                      "batch_stats": restored["batch_stats"]}
+    elif args.torch_ckpt:
+        from leod_tpu.convert import check_compatible, load_torch_checkpoint
+        converted = load_torch_checkpoint(args.torch_ckpt)
+        check_compatible(converted, jax.device_get(variables))
+        variables = jax.device_put(converted)
     if args.tta:
         from leod_tpu.eval.tta import run_tta_eval
         metrics = run_tta_eval(det, variables, cfg, split=args.split,

@@ -112,9 +112,13 @@ class StreamTrainLoader:
     continues slot b's stream (reference: stream_concat_datapipe.py:63-103)."""
 
     def __init__(self, sequences: List[EventSequence], cfg: DatasetConfig,
-                 batch_size: int, seed: int = 0):
+                 batch_size: int, seed: int = 0, slot_offset: int = 0):
+        """slot_offset: first GLOBAL slot id this loader feeds — under
+        multi-host each process builds its local slice of the global
+        slot table with globally-unique stream seeds."""
         self.slots = [
-            _TrainSlot(sequences, cfg.sequence_length, cfg, seed * 1000 + b)
+            _TrainSlot(sequences, cfg.sequence_length, cfg,
+                       seed * 1000 + slot_offset + b)
             for b in range(batch_size)]
 
     def __iter__(self):
@@ -127,10 +131,10 @@ class RandomTrainLoader:
     (reference: dataset_rnd.py:95-152)."""
 
     def __init__(self, sequences: List[EventSequence], cfg: DatasetConfig,
-                 batch_size: int, seed: int = 0):
+                 batch_size: int, seed: int = 0, slot_offset: int = 0):
         self.cfg = cfg
         self.batch_size = batch_size
-        self.rng = np.random.default_rng(seed + 77)
+        self.rng = np.random.default_rng(seed + 77 + 7919 * slot_offset)
         self.datasets = [RandomAccessSequence(s, cfg.sequence_length)
                          for s in sequences]
         self.datasets = [d for d in self.datasets if len(d) > 0]
@@ -193,25 +197,40 @@ class EvalStreamLoader:
                                  start_from_zero=start_from_zero)
                 for s in sequences]
         wins = [w for w in wins if len(w) > 0]
+        assert wins, "split has no non-empty sequences"
         wins.sort(key=len, reverse=True)
-        # two-level pyramid deal: first to shards, then to slots
-        mine: List[WindowedSequence] = []
+        # two-level pyramid deal: first to shards, then to slots. A shard
+        # with fewer sequences than batch slots pads with fillers rather
+        # than crashing (reference pads short shards the same way,
+        # stream_sharded_datapipe.py:59-86).
+        shards: List[List[WindowedSequence]] = [[] for _ in range(num_shards)]
         gen = pyramid_indices(num_shards)
         for w in wins:
-            if next(gen) == shard_index:
-                mine.append(w)
-        assert len(mine) >= batch_size, (
-            f"shard {shard_index} got {len(mine)} sequences < batch {batch_size}")
+            shards[next(gen)].append(w)
+        mine = shards[shard_index]
         mine.sort(key=len, reverse=True)
         self.slots: List[List[WindowedSequence]] = [[] for _ in range(batch_size)]
         gen = pyramid_indices(batch_size)
         for w in mine:
             self.slots[next(gen)].append(w)
-        self.filler = mine[0].padded_sample()
+        self.filler = wins[0].padded_sample()
         self.batch_size = batch_size
+        # every shard can compute every other shard's length from the same
+        # deterministic deal, so all processes agree on a common step count
+        # (a multi-host pjit eval must step all hosts in lockstep)
+        self._n_steps = max(
+            self._shard_steps(shard, batch_size) for shard in shards)
+
+    @staticmethod
+    def _shard_steps(shard: List[WindowedSequence], batch_size: int) -> int:
+        lens = [0] * batch_size
+        gen = pyramid_indices(batch_size)
+        for w in sorted(shard, key=len, reverse=True):
+            lens[next(gen)] += len(w)
+        return max(lens)
 
     def __len__(self):
-        return max(sum(len(w) for w in slot) for slot in self.slots)
+        return self._n_steps
 
     def __iter__(self):
         iters = []

@@ -127,6 +127,16 @@ class PropheseeEvaluator:
     def reset(self):
         self.labels, self.predictions = [], []
 
+    def merge(self, *others: "PropheseeEvaluator") -> "PropheseeEvaluator":
+        """Fold other shards' buffers into this one (the reference reduces
+        metrics across ranks with sync_dist; here the raw buffers merge
+        before a single COCO eval, which is exact rather than averaged)."""
+        for o in others:
+            assert o.dataset == self.dataset
+            self.labels.extend(o.labels)
+            self.predictions.extend(o.predictions)
+        return self
+
     def evaluate(self) -> Optional[Dict[str, float]]:
         if not self.has_data():
             return None

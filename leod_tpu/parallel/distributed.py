@@ -48,3 +48,41 @@ def local_batch_slice(global_batch: int) -> slice:
     b_local = global_batch // n
     p = jax.process_index()
     return slice(p * b_local, (p + 1) * b_local)
+
+
+def _pack_buffers(evaluator) -> bytes:
+    import pickle
+    return pickle.dumps((evaluator.labels, evaluator.predictions))
+
+
+def _unpack_into(evaluator, blob: bytes) -> None:
+    import pickle
+    labels, preds = pickle.loads(blob)
+    evaluator.labels.extend(labels)
+    evaluator.predictions.extend(preds)
+
+
+def allgather_evaluator(evaluator) -> None:
+    """Merge every process's PropheseeEvaluator buffers into the local
+    one, so each host computes identical exact COCO metrics (replaces
+    the reference's rank-averaged `log_dict(sync_dist=True)`,
+    modules/detection.py:451-456). No-op single-process.
+
+    Buffers are host-side ragged lists, so they travel as padded byte
+    blobs through one device all-gather."""
+    if jax.process_count() <= 1:
+        return
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    blob = np.frombuffer(_pack_buffers(evaluator), np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.array([blob.size], np.int64)).reshape(-1)
+    padded = np.zeros((int(sizes.max()),), np.uint8)
+    padded[:blob.size] = blob
+    blobs = multihost_utils.process_allgather(padded)
+    me = jax.process_index()
+    for p in range(jax.process_count()):
+        if p == me:
+            continue
+        _unpack_into(evaluator, blobs[p, :int(sizes[p])].tobytes())

@@ -30,25 +30,41 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def _put_sharded(v, sharding: NamedSharding):
+    """device_put for single-process; under multi-host the host holds only
+    its local rows, so assemble a global array from process-local data."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, np.asarray(v))
+    return jax.device_put(v, sharding)
+
+
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Place a host batch dict on the mesh with batch-axis sharding."""
+    """Place a host batch dict on the mesh with batch-axis sharding.
+    Multi-host: `batch` holds this process's local rows (global slots
+    [p*B_local, (p+1)*B_local)); the result is the global array."""
     ev_s = NamedSharding(mesh, P(None, DATA_AXIS))      # [L, B, H, W, C]
     row_s = NamedSharding(mesh, P(DATA_AXIS))           # [B, ...]
     out = {}
     for k, v in batch.items():
         if k == "ev":
-            out[k] = jax.device_put(v, ev_s)
+            out[k] = _put_sharded(v, ev_s)
         elif k in ("is_first", "frame_t", "frame_mask", "labels"):
-            out[k] = jax.device_put(v, row_s)
+            out[k] = _put_sharded(v, row_s)
     return out
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
     s = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda v: jax.make_array_from_process_local_data(
+                s, np.asarray(v)), tree)
     return jax.device_put(tree, s)
 
 
 def shard_states(mesh: Mesh, states: Any) -> Any:
-    """LSTM state table rows follow their batch slots."""
+    """LSTM state table rows follow their batch slots. Multi-host callers
+    build the zero table inside jit instead (state rows are process-local
+    there by construction)."""
     s = NamedSharding(mesh, P(DATA_AXIS))
-    return jax.device_put(states, s)
+    return jax.tree.map(lambda v: _put_sharded(v, s), states)

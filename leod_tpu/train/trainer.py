@@ -94,22 +94,45 @@ def run_streaming_eval(det: Detector, variables, cfg: ExperimentConfig,
                        frames_per_slot: Optional[int] = None,
                        conf_threshold: Optional[float] = None,
                        max_batches: Optional[int] = None,
-                       time_flip: bool = False) -> Optional[Dict[str, float]]:
+                       time_flip: bool = False,
+                       shard_index: Optional[int] = None,
+                       num_shards: Optional[int] = None,
+                       evaluator: Optional[PropheseeEvaluator] = None,
+                       ) -> Optional[Dict[str, float]]:
     """Full streaming evaluation of a split -> Prophesee COCO metrics
-    (reference: modules/detection.py:300-463, val.py)."""
+    (reference: modules/detection.py:300-463, val.py).
+
+    Multi-host: each process evaluates its own sequence shard
+    (reference shards by global rank, stream_sharded_datapipe.py:88-105);
+    buffers are all-gathered before the COCO eval so every host reports
+    identical exact metrics. Pass shard_index/num_shards explicitly to
+    override the jax.process_* defaults (e.g. for tests), and optionally
+    an external `evaluator` to accumulate into (its merged contents are
+    evaluated; pass one per shard + PropheseeEvaluator.merge to combine
+    shards manually)."""
+    from ..parallel.distributed import allgather_evaluator, process_shard
+
     dst = cfg.dataset
     B = batch_size or cfg.training.batch_size_eval
     seqs = open_split_sequences(dst, split)
     if not seqs:
         return None
+    if shard_index is None and num_shards is None:
+        shard_index, num_shards = process_shard()
+        sync_metrics = True
+    else:
+        shard_index, num_shards = shard_index or 0, num_shards or 1
+        sync_metrics = False
     B = min(B, len(seqs))
-    loader = EvalStreamLoader(seqs, dst, B, time_flip=time_flip)
+    loader = EvalStreamLoader(seqs, dst, B, time_flip=time_flip,
+                              shard_index=shard_index, num_shards=num_shards)
     M = frames_per_slot or default_frames_per_slot(dst.sequence_length)
     pp = cfg.model.postprocess
     conf = conf_threshold if conf_threshold is not None else pp.confidence_threshold
 
     eval_step = jax.jit(make_eval_step(det), donate_argnums=(1,))
-    evaluator = PropheseeEvaluator(dst.name, dst.downsample_by_factor_2)
+    if evaluator is None:
+        evaluator = PropheseeEvaluator(dst.name, dst.downsample_by_factor_2)
     states = det.init_states(B)
     n_cls = cfg.model.head.num_classes
     for bi, batch in enumerate(Prefetcher(iter(loader))):
@@ -146,6 +169,8 @@ def run_streaming_eval(det: Detector, variables, cfg: ExperimentConfig,
                 evaluator.add_predictions([dt])
     for s in seqs:
         s.close()
+    if sync_metrics:
+        allgather_evaluator(evaluator)
     return evaluator.evaluate()
 
 
@@ -237,21 +262,35 @@ class Trainer:
 
     # -- data ---------------------------------------------------------------
     def make_train_loader(self, seed: int = 0):
+        """Returns (loader, global_batch). Under multi-host each process
+        builds only its local slice of the global slot table: process p
+        feeds global slots [p*B_local, (p+1)*B_local) with globally
+        unique stream seeds (reference shards by rank*num_workers+worker,
+        stream_sharded_datapipe.py:88-105)."""
+        from ..parallel.distributed import process_shard
+
         cfg = self.cfg
         dst = cfg.dataset
         B = cfg.training.batch_size_train
+        p, n = process_shard()
+        assert B % n == 0, (B, n)
+        b_local = B // n
         seqs = open_split_sequences(dst, "train", seq_ratio=dst.train_ratio)
         mode = dst.train_sampling
         if mode == "stream":
-            return StreamTrainLoader(seqs, dst, B, seed), B
+            return StreamTrainLoader(seqs, dst, b_local, seed,
+                                     slot_offset=p * b_local), B
         if mode == "random":
-            return RandomTrainLoader(seqs, dst, B, seed), B
+            return RandomTrainLoader(seqs, dst, b_local, seed,
+                                     slot_offset=p * b_local), B
         assert mode == "mixed"
-        b_stream = max(B // 2, 1)
-        b_rand = max(B - b_stream, 1)
+        b_stream = max(b_local // 2, 1)
+        b_rand = max(b_local - b_stream, 1)
         return MixedTrainLoader(
-            StreamTrainLoader(seqs, dst, b_stream, seed),
-            RandomTrainLoader(seqs, dst, b_rand, seed)), b_stream + b_rand
+            StreamTrainLoader(seqs, dst, b_stream, seed,
+                              slot_offset=p * b_stream),
+            RandomTrainLoader(seqs, dst, b_rand, seed,
+                              slot_offset=p * b_rand)), (b_stream + b_rand) * n
 
     # -- loop ---------------------------------------------------------------
     def fit(self, max_steps: Optional[int] = None, seed: int = 0,

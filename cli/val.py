@@ -31,6 +31,9 @@ def main():
                     help="final-eval confidence threshold (BASELINE.md)")
     ap.add_argument("--reverse", action="store_true",
                     help="evaluate time-reversed sequences (val.py:57-59)")
+    ap.add_argument("--eval-ratio", type=float, default=-1.0,
+                    help="every-k subsample of the eval split to speed up "
+                         "the pass (reference val_ratio/test_ratio)")
     ap.add_argument("--tta", action="store_true",
                     help="h-flip + t-flip test-time augmentation")
     ap.add_argument("--cpu", action="store_true")
@@ -60,6 +63,9 @@ def main():
         dst = dataclasses.replace(dst, path=args.path)
     if args.seq_len:
         dst = dataclasses.replace(dst, sequence_length=args.seq_len)
+    if args.eval_ratio > 0:
+        dst = dataclasses.replace(dst, val_ratio=args.eval_ratio,
+                                  test_ratio=args.eval_ratio)
     tr = cfg.training
     if args.batch_size:
         tr = dataclasses.replace(tr, batch_size_eval=args.batch_size)

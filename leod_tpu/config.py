@@ -156,12 +156,17 @@ class DatasetConfig:
     tflip_offset: int = -1              # label lag vs events (gen1=-1, gen4=-2)
     ratio: float = -1.0                 # WSOD frame-label subsample
     train_ratio: float = -1.0           # SSOD sequence subsample
+    # every-k sequence subsampling of the eval splits, to speed up
+    # val/test passes (reference: dataset_streaming.py:81-83)
     val_ratio: float = -1.0
     test_ratio: float = -1.0
-    only_load_labels: bool = False
+    # evaluate time-reversed sequences (reference: modules/data/genx.py:148)
     reverse_event_order: bool = False
     train_sampling: str = "mixed"       # 'random' | 'stream' | 'mixed'
-    eval_sampling: str = "stream"
+    # eval sampling is always streaming (the reference asserts the same,
+    # modules/data/genx.py:96); the reference's `only_load_labels` fast
+    # path is unnecessary here: label-only passes (selftrain/verify.py)
+    # never touch event data because h5 reads are lazy per range
     augment_random: AugmentConfig = field(default_factory=AugmentConfig)
     augment_stream: AugmentConfig = field(default_factory=lambda: AugmentConfig(
         zoom=ZoomConfig(prob=0.5, zoom_in_weight=0.0, zoom_in_min=1.0,

@@ -87,7 +87,9 @@ def run_tta_eval(det: Detector, variables, cfg: ExperimentConfig,
 
     passes = [False] + ([True] if tflip else [])
     for time_flip in passes:
-        seqs = open_split_sequences(dst, split)
+        seqs = open_split_sequences(
+            dst, split, seq_ratio={"val": dst.val_ratio,
+                                   "test": dst.test_ratio}.get(split, -1.0))
         B_eff = min(B, len(seqs))
         loader = EvalStreamLoader(seqs, dst, B_eff, time_flip=time_flip)
         B_dev = B_eff * 2 if hflip else B_eff

@@ -114,9 +114,12 @@ def run_streaming_eval(det: Detector, variables, cfg: ExperimentConfig,
 
     dst = cfg.dataset
     B = batch_size or cfg.training.batch_size_eval
-    seqs = open_split_sequences(dst, split)
+    seqs = open_split_sequences(
+        dst, split, seq_ratio={"val": dst.val_ratio,
+                               "test": dst.test_ratio}.get(split, -1.0))
     if not seqs:
         return None
+    time_flip = time_flip or dst.reverse_event_order
     if shard_index is None and num_shards is None:
         shard_index, num_shards = process_shard()
         sync_metrics = True

@@ -95,6 +95,25 @@ def test_eval_loader_pads_short_shards(exp_cfg):
     assert len(lens) == 1
 
 
+def test_val_ratio_subsamples_eval_split(exp_cfg):
+    """dataset.val_ratio subsamples the eval split every-k
+    (reference: dataset_streaming.py:81-83)."""
+    import jax
+    det = Detector(exp_cfg.model, dtype=jnp.float32)
+    variables = det.init(jax.random.PRNGKey(0), batch_size=1)
+    full = PropheseeEvaluator("gen1", False)
+    run_streaming_eval(det, variables, exp_cfg, split="val",
+                       frames_per_slot=4, shard_index=0, num_shards=1,
+                       evaluator=full)
+    half_cfg = dataclasses.replace(
+        exp_cfg, dataset=dataclasses.replace(exp_cfg.dataset, val_ratio=0.5))
+    half = PropheseeEvaluator("gen1", False)
+    run_streaming_eval(det, variables, half_cfg, split="val",
+                       frames_per_slot=4, shard_index=0, num_shards=1,
+                       evaluator=half)
+    assert 0 < len(half.labels) == len(full.labels) // 2
+
+
 def test_allgather_pack_roundtrip():
     from leod_tpu.parallel.distributed import _pack_buffers, _unpack_into
     from leod_tpu.data.labels import PROPH_DTYPE

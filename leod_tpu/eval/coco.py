@@ -45,59 +45,76 @@ def _iou_xywh(dt: np.ndarray, gt: np.ndarray) -> np.ndarray:
     return inter / np.maximum(area_d + area_g - inter, 1e-12)
 
 
-def _evaluate_image(gt_boxes: np.ndarray, gt_ignore_flags: np.ndarray,
-                    dt_boxes: np.ndarray, dt_scores: np.ndarray,
-                    area_rng: Tuple[float, float], max_det: int):
-    """Match one image/category. Returns (dt_matched, dt_ignore, dt_scores,
-    num_nonignore_gt) with detections sorted by score desc, capped."""
-    a0, a1 = area_rng
-    gt_area = gt_boxes[:, 2] * gt_boxes[:, 3] if len(gt_boxes) else np.zeros(0)
-    gt_ig = gt_ignore_flags | (gt_area < a0) | (gt_area > a1)
-    # sort gts: non-ignore first (stable)
-    g_ord = np.argsort(gt_ig, kind="stable")
-    gt_boxes, gt_ig = gt_boxes[g_ord], gt_ig[g_ord]
-
+def _evaluate_image_all_areas(gt_boxes: np.ndarray, gt_ignore: np.ndarray,
+                              dt_boxes: np.ndarray, dt_scores: np.ndarray,
+                              max_det: int):
+    """Match one image/category for EVERY area range with the IoU matrix
+    computed once (pycocotools computes IoUs once per (image, cat) the
+    same way). Returns (dt_matched [A,T,D] bool, dt_ig [A,T,D] bool,
+    npig [A], dt_scores [D]) with detections score-sorted desc, capped."""
     d_ord = np.argsort(-dt_scores, kind="stable")[:max_det]
     dt_boxes, dt_scores = dt_boxes[d_ord], dt_scores[d_ord]
+    areas = np.array(list(AREA_RANGES.values()), np.float64)
+    A, T, D, G = len(areas), len(IOU_THRS), len(dt_boxes), len(gt_boxes)
 
-    if len(dt_boxes) and len(gt_boxes):
-        from ..native import coco_match
-        native = coco_match(dt_boxes, gt_boxes, gt_ig, IOU_THRS, a0, a1)
+    if G == 0:
+        # nothing to match: every det is an FP, ignored when out of range
+        dt_area = dt_boxes[:, 2] * dt_boxes[:, 3] if D else np.zeros(0)
+        out = (dt_area[None, :] < areas[:, :1]) | (dt_area[None, :]
+                                                   > areas[:, 1:])
+        return (np.zeros((A, T, D), bool),
+                np.broadcast_to(out[:, None, :], (A, T, D)),
+                np.zeros((A,), np.int64), dt_scores)
+    if D == 0:
+        gt_area = gt_boxes[:, 2] * gt_boxes[:, 3]
+        gt_ig = (gt_ignore[None, :] | (gt_area[None, :] < areas[:, :1])
+                 | (gt_area[None, :] > areas[:, 1:]))
+        return (np.zeros((A, T, 0), bool), np.zeros((A, T, 0), bool),
+                (~gt_ig).sum(axis=1).astype(np.int64), dt_scores)
+
+    if D and G:
+        from ..native import coco_eval_image
+        native = coco_eval_image(dt_boxes, gt_boxes, gt_ignore, IOU_THRS,
+                                 areas)
         if native is not None:
-            dtm, dt_ig = native
-            return dtm, dt_ig, dt_scores, int((~gt_ig).sum())
+            dtm, dt_ig, npig = native
+            return dtm, dt_ig, npig, dt_scores
 
     ious = _iou_xywh(dt_boxes, gt_boxes)
-    T, D, G = len(IOU_THRS), len(dt_boxes), len(gt_boxes)
-    dtm = np.zeros((T, D), np.int64)       # 1 + matched gt index, 0 = none
-    dt_ig = np.zeros((T, D), bool)
-    gtm = np.zeros((T, G), bool)
-    for ti, t in enumerate(IOU_THRS):
-        for d in range(D):
-            best_iou = min(t, 1 - 1e-10)
-            m = -1
-            for g in range(G):
-                if gtm[ti, g]:
-                    continue
-                # gts sorted non-ignore first: once we have a match and hit
-                # the ignore region, stop
-                if m > -1 and not gt_ig[m] and gt_ig[g]:
-                    break
-                if ious[d, g] < best_iou:
-                    continue
-                best_iou = ious[d, g]
-                m = g
-            if m == -1:
-                continue
-            dtm[ti, d] = m + 1
-            dt_ig[ti, d] = gt_ig[m]
-            gtm[ti, m] = True
-    # unmatched dets outside the area range are ignored
-    if D:
-        dt_area = dt_boxes[:, 2] * dt_boxes[:, 3]
+    gt_area = gt_boxes[:, 2] * gt_boxes[:, 3] if G else np.zeros(0)
+    dt_area = dt_boxes[:, 2] * dt_boxes[:, 3] if D else np.zeros(0)
+    dtm = np.zeros((A, T, D), bool)
+    dt_ig = np.zeros((A, T, D), bool)
+    npig = np.zeros((A,), np.int64)
+    for ai, (a0, a1) in enumerate(areas):
+        gt_ig = gt_ignore | (gt_area < a0) | (gt_area > a1)
+        npig[ai] = int((~gt_ig).sum())
+        # gts iterated non-ignore first, stable (pycocotools gtind sort)
+        g_ord = np.argsort(gt_ig, kind="stable")
         out_of_rng = (dt_area < a0) | (dt_area > a1)
-        dt_ig |= (dtm == 0) & out_of_rng[None, :]
-    return dtm, dt_ig, dt_scores, int((~gt_ig).sum())
+        for ti, t in enumerate(IOU_THRS):
+            gtm = np.zeros((G,), bool)
+            for d in range(D):
+                best_iou = min(t, 1 - 1e-10)
+                m = -1
+                for g in g_ord:
+                    if gtm[g]:
+                        continue
+                    # once we have a real match and hit the ignore
+                    # region, stop (pycocotools semantics)
+                    if m > -1 and not gt_ig[m] and gt_ig[g]:
+                        break
+                    if ious[d, g] < best_iou:
+                        continue
+                    best_iou = ious[d, g]
+                    m = g
+                if m == -1:
+                    dt_ig[ai, ti, d] = out_of_rng[d]
+                    continue
+                dtm[ai, ti, d] = True
+                dt_ig[ai, ti, d] = gt_ig[m]
+                gtm[m] = True
+    return dtm, dt_ig, npig, dt_scores
 
 
 class COCOEvaluator:
@@ -123,41 +140,37 @@ class COCOEvaluator:
                              np.asarray(dt_scores, np.float64),
                              ) + (np.asarray(gt_ignore, bool),))
 
-    def summarize(self) -> Dict[str, float]:
+    def _compute_precision(self) -> np.ndarray:
+        """Precision tensor [T, R, K, A] (-1 where no GT in range)."""
         T = len(IOU_THRS)
         R = len(REC_THRS)
         K = self.num_categories
-        areas = list(AREA_RANGES.items())
-        precision = -np.ones((T, R, K, len(areas)))
-        has_gt = np.zeros((K,), bool)
+        A = len(AREA_RANGES)
+        precision = -np.ones((T, R, K, A))
 
         for k in range(K):
-            per_area_results = {name: [] for name, _ in areas}
-            npig_by_area = {name: 0 for name, _ in areas}
+            per_area = [[] for _ in range(A)]          # (dtm, dt_ig, scores)
+            npig_tot = np.zeros((A,), np.int64)
             for (gtb, gtc, dtb, dtc, dts, gti) in self._images:
                 g_sel = gtc == k
                 d_sel = dtc == k
-                for name, rng in areas:
-                    dtm, dt_ig, scores, npig = _evaluate_image(
-                        gtb[g_sel], gti[g_sel], dtb[d_sel], dts[d_sel],
-                        rng, MAX_DETS)
-                    per_area_results[name].append((dtm, dt_ig, scores))
-                    npig_by_area[name] += npig
-            if npig_by_area["all"] > 0:
-                has_gt[k] = True
-            for ai, (name, _) in enumerate(areas):
-                npig = npig_by_area[name]
+                dtm, dt_ig, npig, scores = _evaluate_image_all_areas(
+                    gtb[g_sel], gti[g_sel], dtb[d_sel], dts[d_sel], MAX_DETS)
+                npig_tot += npig
+                for ai in range(A):
+                    per_area[ai].append((dtm[ai], dt_ig[ai], scores))
+            for ai in range(A):
+                npig = int(npig_tot[ai])
                 if npig == 0:
                     continue
-                scores = np.concatenate(
-                    [r[2] for r in per_area_results[name]])
+                scores = np.concatenate([r[2] for r in per_area[ai]])
                 order = np.argsort(-scores, kind="mergesort")
                 dtm = np.concatenate(
-                    [r[0] for r in per_area_results[name]], axis=1)[:, order]
+                    [r[0] for r in per_area[ai]], axis=1)[:, order]
                 dt_ig = np.concatenate(
-                    [r[1] for r in per_area_results[name]], axis=1)[:, order]
-                tps = (dtm > 0) & ~dt_ig
-                fps = (dtm == 0) & ~dt_ig
+                    [r[1] for r in per_area[ai]], axis=1)[:, order]
+                tps = dtm & ~dt_ig
+                fps = ~dtm & ~dt_ig
                 tp_sum = np.cumsum(tps, axis=1).astype(np.float64)
                 fp_sum = np.cumsum(fps, axis=1).astype(np.float64)
                 for ti in range(T):
@@ -165,14 +178,17 @@ class COCOEvaluator:
                     rc = tp / npig
                     pr = tp / np.maximum(tp + fp, np.spacing(1))
                     # precision envelope (monotone from the right)
-                    for i in range(len(pr) - 1, 0, -1):
-                        if pr[i] > pr[i - 1]:
-                            pr[i - 1] = pr[i]
+                    pr = np.maximum.accumulate(pr[::-1])[::-1]
                     inds = np.searchsorted(rc, REC_THRS, side="left")
                     q = np.zeros(R)
                     valid = inds < len(pr)
                     q[valid] = pr[inds[valid]]
                     precision[ti, :, k, ai] = q
+        return precision
+
+    @staticmethod
+    def _metrics(precision: np.ndarray) -> Dict[str, float]:
+        names = list(AREA_RANGES)
 
         def _ap(t_slice=slice(None), area_idx=0):
             # -1 when no GT falls in the range (pycocotools convention)
@@ -180,7 +196,6 @@ class COCOEvaluator:
             p = p[p > -1]
             return float(np.mean(p)) if p.size else -1.0
 
-        names = [n for n, _ in areas]
         return {
             "AP": _ap(),
             "AP_50": _ap(slice(0, 1)),
@@ -189,3 +204,6 @@ class COCOEvaluator:
             "AP_M": _ap(area_idx=names.index("medium")),
             "AP_L": _ap(area_idx=names.index("large")),
         }
+
+    def summarize(self) -> Dict[str, float]:
+        return self._metrics(self._compute_precision())

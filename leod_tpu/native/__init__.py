@@ -47,14 +47,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_float,
             ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
-        lib.leod_coco_match.restype = None
-        lib.leod_coco_match.argtypes = [
+        lib.leod_coco_eval_image.restype = None
+        lib.leod_coco_eval_image.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_int,
             ctypes.POINTER(ctypes.c_double), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_double), ctypes.c_int,
-            ctypes.c_double, ctypes.c_double,
-            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint8)]
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32)]
         _lib = lib
         return _lib
 
@@ -85,26 +86,30 @@ def nms(boxes_xyxy: np.ndarray, scores: np.ndarray,
     return keep[:k].astype(np.int64)
 
 
-def coco_match(dt_xywh: np.ndarray, gt_xywh: np.ndarray,
-               gt_ignore: np.ndarray, thrs: np.ndarray,
-               area_lo: float, area_hi: float):
-    """Native COCO per-image matching; None if unavailable.
-    Returns (dtm [T,D] int64, dt_ig [T,D] bool)."""
+def coco_eval_image(dt_xywh: np.ndarray, gt_xywh: np.ndarray,
+                    gt_ignore: np.ndarray, thrs: np.ndarray,
+                    area_ranges: np.ndarray):
+    """Native COCO per-image matching over ALL area ranges with the IoU
+    matrix computed once; None if the library is unavailable.
+    dt must be score-sorted desc (caller caps maxDet).
+    Returns (dt_matched [A,T,D] bool, dt_ig [A,T,D] bool, npig [A] int)."""
     lib = get_lib()
     if lib is None:
         return None
     d, g, t = len(dt_xywh), len(gt_xywh), len(thrs)
+    ar = np.ascontiguousarray(area_ranges, np.float64).reshape(-1, 2)
+    a = len(ar)
     dt = np.ascontiguousarray(dt_xywh, np.float64)
     gt = np.ascontiguousarray(gt_xywh, np.float64)
     gi = np.ascontiguousarray(gt_ignore, np.uint8)
     th = np.ascontiguousarray(thrs, np.float64)
-    dtm = np.zeros((t, d), np.int64)
-    dt_ig = np.zeros((t, d), np.uint8)
-    lib.leod_coco_match(_ptr(dt, ctypes.c_double), d,
-                        _ptr(gt, ctypes.c_double), g,
-                        _ptr(gi, ctypes.c_uint8),
-                        _ptr(th, ctypes.c_double), t,
-                        ctypes.c_double(area_lo), ctypes.c_double(area_hi),
-                        _ptr(dtm, ctypes.c_int64),
-                        _ptr(dt_ig, ctypes.c_uint8))
-    return dtm, dt_ig.astype(bool)
+    dtm = np.zeros((a, t, d), np.uint8)
+    dt_ig = np.zeros((a, t, d), np.uint8)
+    npig = np.zeros((a,), np.int32)
+    lib.leod_coco_eval_image(
+        _ptr(dt, ctypes.c_double), d, _ptr(gt, ctypes.c_double), g,
+        _ptr(gi, ctypes.c_uint8), _ptr(th, ctypes.c_double), t,
+        _ptr(ar, ctypes.c_double), a,
+        _ptr(dtm, ctypes.c_uint8), _ptr(dt_ig, ctypes.c_uint8),
+        _ptr(npig, ctypes.c_int32))
+    return dtm.astype(bool), dt_ig.astype(bool), npig

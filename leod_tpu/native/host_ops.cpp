@@ -57,16 +57,22 @@ int leod_nms(const float* boxes, const float* scores, const float* class_ids,
   return n_keep;
 }
 
-// COCO-style greedy matching for one image/category at T IoU thresholds.
+// COCO-style greedy matching for one image/category: IoU computed ONCE,
+// then matched at T IoU thresholds for EVERY area range in one call
+// (pycocotools computes IoU once per (image, cat) the same way; the
+// 4 area ranges only change which GTs are flagged ignore).
 //
 // dt: [d,4] xywh sorted score-DESC (caller sorts + caps maxDet)
-// gt: [g,4] xywh sorted so non-ignore come first; gt_ignore [g] uint8
-// thrs: [t] IoU thresholds
-// out: dtm [t,d] int64 (1+gt index, 0 = unmatched), dt_ig [t,d] uint8
-void leod_coco_match(const double* dt, int d, const double* gt, int g,
-                     const uint8_t* gt_ignore, const double* thrs, int t,
-                     double area_lo, double area_hi,
-                     int64_t* dtm, uint8_t* dt_ig) {
+// gt: [g,4] xywh (any order); gt_ignore_base [g] uint8
+// thrs: [t] IoU thresholds; area_ranges: [n_areas,2] (lo, hi)
+// out: dt_matched [n_areas,t,d] uint8, dt_ig [n_areas,t,d] uint8,
+//      npig [n_areas] int32 (count of non-ignored GTs per range)
+void leod_coco_eval_image(const double* dt, int d, const double* gt, int g,
+                          const uint8_t* gt_ignore_base,
+                          const double* thrs, int t,
+                          const double* area_ranges, int n_areas,
+                          uint8_t* dt_matched, uint8_t* dt_ig,
+                          int32_t* npig) {
   std::vector<double> ious((size_t)d * g);
   for (int i = 0; i < d; ++i) {
     const double* db = dt + 4 * i;
@@ -81,33 +87,54 @@ void leod_coco_match(const double* dt, int d, const double* gt, int g,
       ious[(size_t)i * g + j] = inter / std::max(da + ga - inter, 1e-12);
     }
   }
-  std::vector<char> gtm((size_t)t * g, 0);
-  std::memset(dtm, 0, sizeof(int64_t) * (size_t)t * d);
-  std::memset(dt_ig, 0, sizeof(uint8_t) * (size_t)t * d);
-  for (int ti = 0; ti < t; ++ti) {
-    for (int i = 0; i < d; ++i) {
-      double best = std::min(thrs[ti], 1.0 - 1e-10);
-      int m = -1;
-      for (int j = 0; j < g; ++j) {
-        if (gtm[(size_t)ti * g + j]) continue;
-        // gts sorted non-ignore first: stop once we have a real match
-        // and reach the ignore region (pycocotools semantics)
-        if (m > -1 && !gt_ignore[m] && gt_ignore[j]) break;
-        double v = ious[(size_t)i * g + j];
-        if (v < best) continue;
-        best = v;
-        m = j;
-      }
-      if (m == -1) continue;
-      dtm[(size_t)ti * d + i] = m + 1;
-      dt_ig[(size_t)ti * d + i] = gt_ignore[m];
-      gtm[(size_t)ti * g + m] = 1;
+  std::vector<double> dt_area(d), gt_area(g);
+  for (int i = 0; i < d; ++i) dt_area[i] = dt[4 * i + 2] * dt[4 * i + 3];
+  for (int j = 0; j < g; ++j) gt_area[j] = gt[4 * j + 2] * gt[4 * j + 3];
+
+  std::memset(dt_matched, 0, (size_t)n_areas * t * d);
+  std::memset(dt_ig, 0, (size_t)n_areas * t * d);
+  std::vector<uint8_t> gt_ig(g);
+  std::vector<int> order(g);
+  std::vector<char> gtm(g);
+  for (int a = 0; a < n_areas; ++a) {
+    double a0 = area_ranges[2 * a], a1 = area_ranges[2 * a + 1];
+    int np_a = 0;
+    for (int j = 0; j < g; ++j) {
+      gt_ig[j] = gt_ignore_base[j] || gt_area[j] < a0 || gt_area[j] > a1;
+      np_a += !gt_ig[j];
     }
-    // unmatched dets outside the area range are ignored
-    for (int i = 0; i < d; ++i) {
-      if (dtm[(size_t)ti * d + i] != 0) continue;
-      double a = dt[4 * i + 2] * dt[4 * i + 3];
-      if (a < area_lo || a > area_hi) dt_ig[(size_t)ti * d + i] = 1;
+    npig[a] = np_a;
+    // gts iterated non-ignore first, stable (pycocotools gtind sort)
+    std::iota(order.begin(), order.end(), 0);
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int x, int y) { return gt_ig[x] < gt_ig[y]; });
+    uint8_t* dm = dt_matched + (size_t)a * t * d;
+    uint8_t* di = dt_ig + (size_t)a * t * d;
+    for (int ti = 0; ti < t; ++ti) {
+      std::fill(gtm.begin(), gtm.end(), 0);
+      for (int i = 0; i < d; ++i) {
+        double best = std::min(thrs[ti], 1.0 - 1e-10);
+        int m = -1;
+        for (int oj = 0; oj < g; ++oj) {
+          int j = order[oj];
+          if (gtm[j]) continue;
+          // stop once we have a real match and reach the ignore region
+          // (pycocotools semantics)
+          if (m > -1 && !gt_ig[m] && gt_ig[j]) break;
+          double v = ious[(size_t)i * g + j];
+          if (v < best) continue;
+          best = v;
+          m = j;
+        }
+        if (m == -1) {
+          // unmatched dets outside the area range are ignored
+          if (dt_area[i] < a0 || dt_area[i] > a1) di[(size_t)ti * d + i] = 1;
+          continue;
+        }
+        dm[(size_t)ti * d + i] = 1;
+        di[(size_t)ti * d + i] = gt_ig[m];
+        gtm[m] = 1;
+      }
     }
   }
 }

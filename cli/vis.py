@@ -19,29 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-
-def render_event_frame(ev: np.ndarray) -> np.ndarray:
-    """[C, H, W] uint8 counts -> grayscale-ish RGB (white bg, events dark)
-    (reference: callbacks/viz_base.py:163-174 renders ON/OFF activity)."""
-    c = ev.shape[0] // 2
-    pos = ev[c:].sum(0).astype(np.float32)
-    neg = ev[:c].sum(0).astype(np.float32)
-    img = np.full(ev.shape[-2:] + (3,), 255, np.uint8)
-    img[pos > 0] = (64, 64, 200)     # ON: red-ish (BGR)
-    img[neg > 0] = (200, 64, 64)     # OFF: blue-ish
-    img[(pos > 0) & (neg > 0)] = (64, 160, 64)
-    return img
-
-
-def draw_boxes(img, boxes_xyxy, color, labels=None):
-    import cv2
-    for i, b in enumerate(boxes_xyxy):
-        x1, y1, x2, y2 = [int(round(v)) for v in b[:4]]
-        cv2.rectangle(img, (x1, y1), (x2, y2), color, 1)
-        if labels is not None:
-            cv2.putText(img, labels[i], (x1, max(y1 - 2, 8)),
-                        cv2.FONT_HERSHEY_SIMPLEX, 0.35, color, 1)
-    return img
+from leod_tpu.utils.viz import draw_boxes, render_event_frame  # noqa: E402
 
 
 def main():

@@ -27,4 +27,7 @@ def __getattr__(name):
     if name == "run_streaming_eval":
         from .train.trainer import run_streaming_eval
         return run_streaming_eval
+    if name == "load_torch_checkpoint":
+        from .convert import load_torch_checkpoint
+        return load_torch_checkpoint
     raise AttributeError(name)

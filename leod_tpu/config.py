@@ -215,6 +215,10 @@ class TrainingConfig:
     batch_size_eval: int = 8
     val_check_interval: int = 20_000
     ckpt_every_min: float = 18.0
+    # every N steps render one train batch's pred-vs-GT boxes into
+    # <run_dir>/viz/ (reference logs panels every 5k steps,
+    # callbacks/detection.py:20-107); 0 disables
+    viz_every_steps: int = 5000
     num_workers_train: int = 4
     num_workers_eval: int = 4
     seed: int = 0

@@ -85,11 +85,16 @@ def _gather_frames(feats_seq: Dict[int, jnp.ndarray], frame_t: jnp.ndarray):
     return {s: one(f) for s, f in feats_seq.items()}
 
 
-def make_train_step(det: Detector, optimizer):
+def make_train_step(det: Detector, optimizer, with_preds: bool = False):
     """Returns train_step(state, batch) -> (state, metrics).
 
     batch: ev [L,B,H,W,C], is_first [B], frame_t [B,M], frame_mask [B,M],
     labels [B,M,G,7]. All shapes static across steps.
+
+    with_preds: metrics additionally carry "preds" [B*M, A, 5+C]
+    (eval-style sigmoided detections for the harvested frames) for the
+    train-time pred-vs-GT visualization hook (reference:
+    callbacks/detection.py:20-107). Costs nothing unless fetched.
     """
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
@@ -104,9 +109,9 @@ def make_train_step(det: Detector, optimizer):
             out, new_stats = det.forward_detect(v, feats, train=True)
             labels = batch["labels"].reshape((-1,) + batch["labels"].shape[2:])
             losses = det.loss(out, labels, batch["frame_mask"].reshape(-1))
-            return losses["loss"], (losses, new_stats, final_states)
+            return losses["loss"], (losses, new_stats, final_states, out)
 
-        grads, (losses, new_stats, final_states) = jax.grad(
+        grads, (losses, new_stats, final_states, out) = jax.grad(
             loss_fn, has_aux=True)(state.variables["params"])
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.variables["params"])
@@ -122,6 +127,10 @@ def make_train_step(det: Detector, optimizer):
         # per-module gradient norms (reference: callbacks/gradflow.py)
         for mod in ("backbone", "fpn", "head"):
             metrics[f"grad_norm/{mod}"] = optax.global_norm(grads[mod])
+        if with_preds:
+            out = jax.lax.stop_gradient(out)
+            metrics["preds"] = jnp.concatenate(
+                [out[..., :4], jax.nn.sigmoid(out[..., 4:])], axis=-1)
         return new_state, metrics
 
     return train_step

@@ -295,6 +295,40 @@ class Trainer:
             RandomTrainLoader(seqs, dst, b_rand, seed,
                               slot_offset=p * b_rand)), (b_stream + b_rand) * n
 
+    # -- visualization -------------------------------------------------------
+    @staticmethod
+    def _viz_payload(hb: Dict[str, Any]) -> Optional[Dict[str, Any]]:
+        """Host-side data for one pred-vs-GT panel: the first harvested
+        labeled frame of the batch (ev frame copy, its GT Boxes, and the
+        flat row index into the train step's preds output)."""
+        mask = hb["frame_mask"]
+        rows = np.argwhere(mask)
+        if len(rows) == 0:
+            return None
+        b, m = (int(v) for v in rows[0])
+        t = int(hb["frame_t"][b, m])
+        return {"ev": np.asarray(hb["ev"][t, b]).copy(),
+                "gt": hb["boxes"][b][m],
+                "row": b * mask.shape[1] + m}
+
+    def _write_viz_panel(self, step: int, viz: Dict[str, Any],
+                         preds) -> None:
+        """Render pred (green) vs GT (black) boxes on the event frame
+        into <run_dir>/viz/ (reference: callbacks/detection.py:20-107)."""
+        from ..utils.viz import save_pred_vs_gt_panel
+
+        pp = self.cfg.model.postprocess
+        row = np.asarray(preds[viz["row"]])[None]
+        dets, valid = postprocess(
+            jnp.asarray(row), num_classes=self.cfg.model.head.num_classes,
+            conf_threshold=pp.confidence_threshold,
+            nms_threshold=pp.nms_threshold,
+            pre_topk=pp.pre_nms_topk, max_dets=pp.max_dets)
+        d = np.asarray(dets)[0][np.asarray(valid)[0]]
+        path = os.path.join(self.run_dir, "viz", f"step{step:08d}.png")
+        if save_pred_vs_gt_panel(path, viz["ev"], d, viz["gt"]):
+            print(f"viz panel -> {path}", flush=True)
+
     # -- loop ---------------------------------------------------------------
     def fit(self, max_steps: Optional[int] = None, seed: int = 0,
             eval_split: str = "val", state: Optional[TrainState] = None,
@@ -308,8 +342,11 @@ class Trainer:
         loader, B = self.make_train_loader(seed)
         if state is None:
             state = self.init_state(B, seed)
-        train_step = jax.jit(make_train_step(self.det, self.optimizer),
-                             donate_argnums=(0,))
+        viz_every = cfg.training.viz_every_steps
+        train_step = jax.jit(
+            make_train_step(self.det, self.optimizer,
+                            with_preds=viz_every > 0),
+            donate_argnums=(0,))
         M = (cfg.training.max_det_frames or
              default_frames_per_slot(cfg.dataset.sequence_length,
                                      cfg.model.use_label_every))
@@ -320,11 +357,12 @@ class Trainer:
         # track the step on the host: int(state.step) would force a device
         # sync every iteration and stall the input pipeline
         step = int(state.step)
+        step0 = step
 
         def device_batches():
             """Harvest + host->device transfer inside the prefetch thread
             so they overlap with device compute."""
-            for batch in loader:
+            for i, batch in enumerate(loader):
                 hb = harvest_frames(batch, M, cfg.model.head.max_gt,
                                     cfg.model.backbone.in_res_hw,
                                     use_label_every=cfg.model.use_label_every,
@@ -339,6 +377,9 @@ class Trainer:
                     dev = jax.device_put(dev)
                 meta = {"frames": batch["ev"].shape[0] * batch["ev"].shape[1],
                         "dropped_frames": hb["dropped_frames"]}
+                # batch i is consumed by step (step0 + i + 1)
+                if viz_every and (step0 + i + 1) % viz_every == 0:
+                    meta["viz"] = self._viz_payload(hb)
                 yield dev, meta
 
         for dev, meta in Prefetcher(device_batches(), depth=3):
@@ -348,6 +389,9 @@ class Trainer:
                 jax.profiler.start_trace(os.path.join(self.run_dir, "profile"))
             state, metrics = train_step(state, dev)
             step += 1          # steps completed (host-tracked; no sync)
+            preds = metrics.pop("preds", None)
+            if meta.get("viz") is not None and preds is not None:
+                self._write_viz_panel(step, meta["viz"], preds)
             if profile_steps and step == 5 + profile_steps:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()

@@ -145,6 +145,46 @@ def test_eval_loader_sharding_disjoint_cover(dataset):
     assert all(len(shards) == 1 for shards in seen.values())
 
 
+def test_dense_pseudo_budget_zero_drops(tmp_path):
+    """Training on a fully-dense pseudo dataset (every repr labeled, as
+    the pseudo-labeler produces) must drop ZERO labeled frames when using
+    the documented budget: default_frames_per_slot(L, use_label_every)
+    covers ceil(L/k)+1 kept frames (reference label subsampling:
+    modules/detection.py:129-148)."""
+    from leod_tpu.train.trainer import default_frames_per_slot
+
+    root = str(tmp_path / "dense")
+    generate_dataset(root, num_train=2, num_val=0, num_test=0,
+                     num_reprs=40, label_every=1, first_label_repr=0,
+                     hw=(64, 96))
+    # stamp every label pseudo (t == 0), as the pseudo-labeler writes
+    # them (selftrain/filters.py pred2label) — GT frames are never
+    # subsampled by use_label_every, pseudo frames are
+    import glob
+    import os
+    for npz in glob.glob(os.path.join(root, "train", "*", "labels_v2",
+                                      "labels.npz")):
+        data = dict(np.load(npz))
+        data["labels"]["t"] = 0
+        np.savez(npz, **data)
+    cfg = _cfg(root, L=8)
+    seqs = open_split_sequences(cfg, "train")
+    loader = StreamTrainLoader(seqs, cfg, batch_size=2, seed=0)
+
+    for k in (2, 4):
+        M = default_frames_per_slot(cfg.sequence_length, use_label_every=k)
+        dropped = total = 0
+        for bi, batch in enumerate(iter(loader)):
+            if bi >= 12:
+                break
+            hb = harvest_frames(batch, M, max_gt=8, pad_hw=(64, 96),
+                                use_label_every=k)
+            dropped += hb["dropped_frames"]
+            total += hb["num_frames"]
+        assert total > 0
+        assert dropped == 0, (k, M, dropped)
+
+
 def test_prefetcher_propagates_errors():
     from leod_tpu.data.loader import Prefetcher
 

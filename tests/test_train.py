@@ -33,6 +33,21 @@ def exp_cfg(tmp_path_factory):
                             exp_name="t")
 
 
+def test_train_time_viz_panels(exp_cfg, tmp_path):
+    """Pred-vs-GT panels land in <run_dir>/viz/ every viz_every_steps
+    (reference: callbacks/detection.py:20-107)."""
+    import glob
+
+    cfg = dataclasses.replace(
+        exp_cfg,
+        training=dataclasses.replace(exp_cfg.training, viz_every_steps=2),
+        save_dir=str(tmp_path), exp_name="viz")
+    trainer = Trainer(cfg, dtype=jnp.float32)
+    trainer.fit(max_steps=4, eval_split="val")
+    panels = glob.glob(os.path.join(trainer.run_dir, "viz", "*.png"))
+    assert len(panels) == 2, panels    # steps 2 and 4
+
+
 def test_fit_and_eval_and_resume(exp_cfg):
     trainer = Trainer(exp_cfg, dtype=jnp.float32)
     state = trainer.fit(max_steps=4, eval_split="val")

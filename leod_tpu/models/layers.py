@@ -160,9 +160,44 @@ class PartitionAttention(nn.Module):
         return x + ls("ls2")(y)
 
 
+class _S2DStemConv(nn.Module):
+    """7x7 stride-4 conv with the width-blocks folded into channels.
+
+    Event tensors have ~20 input channels; a direct NHWC conv leaves
+    >80% of the TPU's 128 lanes idle on every input load (measured
+    0.58 ms/step at Gen1 B=16 — the single hottest op in the model).
+    Folding each output column's 4 input columns into the channel dim is
+    a PURE RESHAPE (row-major [W, C] -> [W/4, 4*C], no data movement),
+    after which the conv has 4*C >= 80 input channels and a 7x2 kernel:
+    output col j covers input cols 4j-3..4j+3, i.e. width-blocks j-1 and
+    j with in-block tap index 4*bw + s - 1 (the tap at -1 is zero).
+    Params identical to nn.Conv: kernel [7, 7, Cin, Cout]."""
+    dim_out: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, cin, self.dim_out))
+        k = jnp.pad(kernel, ((0, 0), (1, 0), (0, 0), (0, 0)))   # [7,8,ci,co]
+        k = k.reshape(7, 2, 4 * cin, self.dim_out)
+        dt = self.dtype or x.dtype
+        b, h, w, _ = x.shape
+        assert w % 4 == 0, w
+        x = x.reshape(b, h, w // 4, 4 * cin)
+        return jax.lax.conv_general_dilated(
+            x.astype(dt), k.astype(dt), (4, 1),
+            [(3, 3), (1, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class ConvDownsample(nn.Module):
     """Overlapped strided patch embed + LayerNorm
-    (reference: maxvit.py:143-182). NHWC in and out."""
+    (reference: maxvit.py:143-182). NHWC in and out.
+
+    The factor-4 overlapped stem uses the space-to-depth formulation
+    (see _S2DStemConv) with an identical param tree."""
     dim_out: int
     factor: int
     overlap: bool = True
@@ -172,14 +207,18 @@ class ConvDownsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        if self.overlap:
-            k = (self.factor - 1) * 2 + 1
-            pad = k // 2
+        if self.overlap and self.factor == 4:
+            x = _S2DStemConv(self.dim_out, dtype=self.dtype, name="conv")(x)
         else:
-            k, pad = self.factor, 0
-        x = nn.Conv(self.dim_out, (k, k), strides=(self.factor, self.factor),
-                    padding=[(pad, pad), (pad, pad)], use_bias=False,
-                    dtype=self.dtype, name="conv")(x)
+            if self.overlap:
+                k = (self.factor - 1) * 2 + 1
+                pad = k // 2
+            else:
+                k, pad = self.factor, 0
+            x = nn.Conv(self.dim_out, (k, k),
+                        strides=(self.factor, self.factor),
+                        padding=[(pad, pad), (pad, pad)], use_bias=False,
+                        dtype=self.dtype, name="conv")(x)
         return nn.LayerNorm(epsilon=self.norm_eps, use_bias=self.norm_affine,
                             use_scale=self.norm_affine, dtype=self.dtype,
                             name="norm")(x)
@@ -189,11 +228,33 @@ class ConvDownsample(nn.Module):
 # ConvLSTM
 # ---------------------------------------------------------------------------
 
+class _SplitGateConv(nn.Module):
+    """1x1 conv over concat(x, h) computed as x@Kx + h@Kh WITHOUT
+    materializing the concat (the concat is a full extra HBM pass over
+    the biggest tensors in the model; the split matmul is mathematically
+    identical). Param tree matches nn.Conv exactly: kernel [1, 1, 2d, 4d],
+    bias [4d]."""
+    dim: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+        d = self.dim
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, 2 * d, 4 * d))
+        bias = self.param("bias", nn.initializers.zeros, (4 * d,))
+        k = kernel[0, 0].astype(x.dtype)
+        return (x @ k[:d] + h.astype(x.dtype) @ k[d:]
+                + bias.astype(x.dtype))
+
+
 class ConvLSTMCell(nn.Module):
     """1x1-conv LSTM over concat(x, h) (reference: models/layers/rnn.py:37-70).
 
     Gate layout along channels: [forget, input, output, cell_candidate].
     Optional depthwise 3x3 on the hidden state (identity in RVT configs).
+    The gate conv is computed as a concat-free split matmul (same params,
+    same math, one less full-tensor HBM pass per step).
     """
     dim: int
     dws_conv: bool = False
@@ -214,12 +275,12 @@ class ConvLSTMCell(nn.Module):
                          name="dws")
             if self.dws_conv_only_hidden:
                 h_prev = dw(h_prev)
-                xh = jnp.concatenate([x, h_prev], axis=-1)
             else:
                 xh = dw(jnp.concatenate([x, h_prev], axis=-1))
-        else:
-            xh = jnp.concatenate([x, h_prev], axis=-1)
-        mix = nn.Conv(4 * self.dim, (1, 1), dtype=self.dtype, name="gates")(xh)
+                x, h_prev = jnp.split(xh, [self.dim], axis=-1)
+        mix = _SplitGateConv(self.dim, dtype=self.dtype,
+                             name="gates")(x.astype(self.dtype or x.dtype),
+                                           h_prev)
         gates, g = jnp.split(mix, [3 * self.dim], axis=-1)
         f, i, o = jnp.split(jax.nn.sigmoid(gates), 3, axis=-1)
         c = f * c_prev + i * jnp.tanh(g)

@@ -37,14 +37,17 @@ def main():
     def infer(variables, ev, states):
         """One L-frame streaming window: backbone scan + detect on the
         final frame (the eval cadence on Gen1 is ~1 labeled frame per
-        window)."""
+        window). Uses the fused Pallas attention kernels like the eval
+        path does."""
+        fused = det.fused_inference
         def body(carry, x_t):
             feats, ns = det.forward_backbone(variables,
-                                             x_t.astype(det.dtype), carry)
+                                             x_t.astype(det.dtype), carry,
+                                             fused=fused)
             return ns, None
         states, _ = jax.lax.scan(body, states, ev[:-1])
         feats, states = det.forward_backbone(
-            variables, ev[-1].astype(det.dtype), states)
+            variables, ev[-1].astype(det.dtype), states, fused=fused)
         preds, _ = det.forward_detect(variables, feats, train=False)
         return preds, states
 
@@ -81,12 +84,70 @@ def main():
     dt = time.perf_counter() - t0
 
     frames_per_s = iters * B * L / dt
-    print(json.dumps({
+    record = {
         "metric": "rvt_b_gen1_inference_throughput",
         "value": round(frames_per_s, 2),
         "unit": "event_frames_per_s_per_chip",
         "vs_baseline": round(frames_per_s / BASELINE_FRAMES_PER_S, 4),
-    }))
+    }
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        try:
+            record["train_frames_per_s"] = round(
+                _train_throughput(cfg, det), 2)
+        except Exception as e:                      # pragma: no cover
+            record["train_error"] = f"{type(e).__name__}: {e}"
+    print(json.dumps(record))
+
+
+def _train_throughput(cfg, det, iters: int = 4):
+    """On-device train-step throughput at the Gen1 recipe (bs 8, L=21,
+    AdamW + remat scan) so backward/scan-path perf regressions are
+    visible round over round (BENCH_TRAIN=0 skips)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from leod_tpu.train.optim import make_optimizer
+    from leod_tpu.train.step import TrainState, make_train_step
+
+    B, L, M = 8, cfg.dataset.sequence_length, 6
+    G = cfg.model.head.max_gt
+    h, w = cfg.model.backbone.in_res_hw
+    variables = det.init(jax.random.PRNGKey(0), batch_size=1)
+    optimizer, _ = make_optimizer(cfg.training)
+    state = TrainState(variables=variables,
+                       opt_state=optimizer.init(variables["params"]),
+                       states=det.init_states(B),
+                       step=jnp.zeros((), jnp.int32))
+    rng = np.random.default_rng(0)
+    labels = np.zeros((B, M, G, 7), np.float32)
+    labels[:, :, 0] = [0, 150, 120, 60, 40, 1, 1]
+    labels[:, :, 1] = [1, 40, 30, 24, 20, 1, 1]
+    batch = {
+        "ev": jnp.asarray(rng.integers(0, 50, (L, B, h, w, 20)), jnp.uint8),
+        "is_first": jnp.zeros((B,), bool),
+        "frame_t": jnp.asarray(
+            np.tile(np.linspace(3, L - 1, M, dtype=np.int32), (B, 1))),
+        "frame_mask": jnp.ones((B, M), bool),
+        "labels": jnp.asarray(labels),
+    }
+    train_step = make_train_step(det, optimizer)
+
+    def run(state, ev):
+        def body(carry, _):
+            bump = (carry.states[0][0][0, 0, 0, 0] > 0).astype(jnp.uint8)
+            st, metrics = train_step(carry, {**batch, "ev": ev + bump})
+            return st, metrics["loss"]
+        return jax.lax.scan(body, state, None, length=iters)
+
+    run = jax.jit(run, donate_argnums=(0,))
+    state, losses = run(state, batch["ev"])
+    losses.block_until_ready()
+    t0 = time.perf_counter()
+    state, losses = run(state, batch["ev"])
+    losses.block_until_ready()
+    dt = time.perf_counter() - t0
+    return iters * B * L / dt
 
 
 if __name__ == "__main__":

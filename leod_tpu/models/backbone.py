@@ -66,11 +66,25 @@ class RVTStage(nn.Module):
                 (1, 1, 1, self.stage_dim))
 
     def pre(self, x: jnp.ndarray,
-            token_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+            token_mask: Optional[jnp.ndarray] = None,
+            fused: bool = False) -> jnp.ndarray:
         x = self.down(x)
         if self.enable_token_masking and token_mask is not None:
             x = jnp.where(token_mask[..., None],
                           self.mask_token.astype(x.dtype), x)
+        if fused and not self.is_initializing():
+            # forward-only fused Pallas block pairs (ops/maxvit_pallas.py):
+            # same params, read through the module's own variable tree
+            from ..ops.maxvit_pallas import fused_block_pair
+            params = self.variables["params"]
+            c = self.cfg
+            for i in range(self.num_blocks):
+                x = fused_block_pair(
+                    x, params[f"block{i}_window"], params[f"block{i}_grid"],
+                    c.partition_size, skip_first_norm=(i == 0),
+                    dim_head=c.dim_head, act=c.mlp_act, gated=c.mlp_gated,
+                    eps=c.norm_eps)
+            return x
         for blk in self.blocks:
             x = blk(x)
         return x
@@ -81,9 +95,9 @@ class RVTStage(nn.Module):
         return h, (h, c)
 
     def __call__(self, x: jnp.ndarray, state: StageState,
-                 token_mask: Optional[jnp.ndarray] = None
-                 ) -> Tuple[jnp.ndarray, StageState]:
-        return self.cell(self.pre(x, token_mask), state)
+                 token_mask: Optional[jnp.ndarray] = None,
+                 fused: bool = False) -> Tuple[jnp.ndarray, StageState]:
+        return self.cell(self.pre(x, token_mask, fused), state)
 
 
 class RVTBackbone(nn.Module):
@@ -103,12 +117,16 @@ class RVTBackbone(nn.Module):
         self.stages = stages
 
     def __call__(self, x: jnp.ndarray, states: BackboneStates,
-                 token_mask: Optional[jnp.ndarray] = None
+                 token_mask: Optional[jnp.ndarray] = None,
+                 fused: bool = False
                  ) -> Tuple[BackboneFeatures, BackboneStates]:
+        """fused=True uses the forward-only Pallas block-pair kernels
+        (no VJP — inference/eval paths only)."""
         features: BackboneFeatures = {}
         new_states: List[StageState] = []
         for k, stage in enumerate(self.stages):
-            x, st = stage(x, states[k], token_mask if k == 0 else None)
+            x, st = stage(x, states[k], token_mask if k == 0 else None,
+                          fused)
             features[k + 1] = x
             new_states.append(st)
         return features, tuple(new_states)

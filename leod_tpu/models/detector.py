@@ -23,11 +23,23 @@ Variables = Dict[str, Any]
 
 
 class Detector:
-    """Stateless module bundle; all methods are pure given `variables`."""
+    """Stateless module bundle; all methods are pure given `variables`.
 
-    def __init__(self, cfg: ModelConfig, dtype=jnp.bfloat16):
+    fused_inference: use the forward-only Pallas MaxViT block-pair
+    kernels (ops/maxvit_pallas.py) on the no-grad paths (eval, bench,
+    pseudo-labeling). MEASURED NEGATIVE in context on v5e: the kernel
+    wins in isolation (1.17 vs 1.37 ms marginal per stage-1 pair at
+    B=16) but loses end-to-end (bench 4,620-4,719 vs 4,881 frames/s)
+    because the pallas_call is a fusion barrier for XLA's cross-stage
+    scheduling — so the default stays False (docs/benchmarks.md).
+    Training always takes the XLA path (the kernels define no VJP).
+    """
+
+    def __init__(self, cfg: ModelConfig, dtype=jnp.bfloat16,
+                 fused_inference: bool = False):
         self.cfg = cfg
         self.dtype = dtype
+        self.fused_inference = bool(fused_inference)
         self.backbone = RVTBackbone(cfg.backbone, dtype=dtype)
         self.fpn = PAFPN(cfg.fpn, cfg.fpn_in_channels, dtype=dtype)
         self.head = YOLOXHead(cfg.head, cfg.fpn_in_channels, dtype=dtype)
@@ -66,10 +78,14 @@ class Detector:
     # -- forward ------------------------------------------------------------
     def forward_backbone(self, variables: Variables, x: jnp.ndarray,
                          states: BackboneStates,
-                         token_mask: Optional[jnp.ndarray] = None):
-        """One timestep: x [B, H, W, C] -> ({stage: feat}, new_states)."""
+                         token_mask: Optional[jnp.ndarray] = None,
+                         fused: bool = False):
+        """One timestep: x [B, H, W, C] -> ({stage: feat}, new_states).
+        fused=True routes attention through the forward-only Pallas
+        kernels — no-grad callers only."""
         return self.backbone.apply({"params": variables["params"]["backbone"]},
-                                   x.astype(self.dtype), states, token_mask)
+                                   x.astype(self.dtype), states, token_mask,
+                                   fused)
 
     def forward_stage1_pre(self, variables: Variables, x: jnp.ndarray):
         """Stage-1 downsample+attention only; batch over timesteps freely."""

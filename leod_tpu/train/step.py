@@ -34,7 +34,7 @@ class TrainState(NamedTuple):
 
 
 def _scan_backbone(det: Detector, variables, states0, ev_seq,
-                   prebatch_stage1: bool = False):
+                   prebatch_stage1: bool = False, fused: bool = False):
     """Scan the backbone over time; returns FPN-stage features per step.
 
     ev_seq [L, B, H, W, C] (any dtype; cast to compute dtype here).
@@ -66,7 +66,7 @@ def _scan_backbone(det: Detector, variables, states0, ev_seq,
     @functools.partial(jax.checkpoint, prevent_cse=False)
     def body(carry, x_t):
         feats, new_states = det.forward_backbone(
-            variables, x_t.astype(det.dtype), carry)
+            variables, x_t.astype(det.dtype), carry, fused=fused)
         return new_states, tuple(feats[s] for s in stages)
 
     final_states, feats_seq = jax.lax.scan(body, states0, ev_seq)
@@ -146,8 +146,9 @@ def make_eval_step(det: Detector):
     def eval_step(variables, states: BackboneStates,
                   batch: Dict[str, jnp.ndarray]):
         states0 = reset_states(states, batch["is_first"])
-        final_states, feats_seq = _scan_backbone(det, variables, states0,
-                                                 batch["ev"])
+        final_states, feats_seq = _scan_backbone(
+            det, variables, states0, batch["ev"],
+            fused=det.fused_inference)
         feats = _gather_frames(feats_seq, batch["frame_t"])
         preds, _ = det.forward_detect(variables, feats, train=False)
         return final_states, preds

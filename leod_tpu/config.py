@@ -163,6 +163,9 @@ class DatasetConfig:
     # evaluate time-reversed sequences (reference: modules/data/genx.py:148)
     reverse_event_order: bool = False
     train_sampling: str = "mixed"       # 'random' | 'stream' | 'mixed'
+    # class-frequency weighted random-access sampling (reference:
+    # dataset_rnd.py:228-264; disabled in every reference config)
+    weighted_sampling: bool = False
     # eval sampling is always streaming (the reference asserts the same,
     # modules/data/genx.py:96); the reference's `only_load_labels` fast
     # path is unnecessary here: label-only passes (selftrain/verify.py)

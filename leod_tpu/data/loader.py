@@ -127,8 +127,9 @@ class StreamTrainLoader:
 
 
 class RandomTrainLoader:
-    """Uniform random-access samples; RNN always resets
-    (reference: dataset_rnd.py:95-152)."""
+    """Uniform (or class-frequency weighted) random-access samples; RNN
+    always resets (reference: dataset_rnd.py:95-152, weighted sampler
+    :230-264)."""
 
     def __init__(self, sequences: List[EventSequence], cfg: DatasetConfig,
                  batch_size: int, seed: int = 0, slot_offset: int = 0):
@@ -140,12 +141,37 @@ class RandomTrainLoader:
         self.datasets = [d for d in self.datasets if len(d) > 0]
         self.sizes = np.array([len(d) for d in self.datasets])
         self.cum = np.cumsum(self.sizes)
+        self.probs = (self._sample_weights()
+                      if cfg.weighted_sampling else None)
         self.augmentor = SpatialAugmentor(cfg.loading_hw, cfg.augment_random,
                                           self.rng)
 
+    def _sample_weights(self) -> np.ndarray:
+        """Per-sample probability ~ sum_c count_c(sample) / count_c(all):
+        rare classes and box-dense windows are sampled more often
+        (reference: dataset_rnd.py:228-264). Label-only reads."""
+        per_sample = []
+        class2count: dict = {}
+        for d in self.datasets:
+            for i in range(len(d)):
+                ids, counts = d.window_class_counts(i)
+                per_sample.append((ids, counts))
+                for c, n in zip(ids, counts):
+                    class2count[int(c)] = class2count.get(int(c), 0) + int(n)
+        w = np.array([
+            sum(n / max(class2count[int(c)], 1) for c, n in zip(ids, counts))
+            for ids, counts in per_sample], np.float64)
+        total = w.sum()
+        if total <= 0:
+            return np.full(len(w), 1.0 / max(len(w), 1))
+        return w / total
+
     def _sample_one(self) -> dict:
         for _ in range(32):
-            gidx = int(self.rng.integers(0, self.cum[-1]))
+            if self.probs is not None:
+                gidx = int(self.rng.choice(len(self.probs), p=self.probs))
+            else:
+                gidx = int(self.rng.integers(0, self.cum[-1]))
             di = int(np.searchsorted(self.cum, gidx, side="right"))
             li = gidx - (self.cum[di - 1] if di > 0 else 0)
             self.augmentor.randomize()

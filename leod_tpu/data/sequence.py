@@ -294,7 +294,9 @@ class RandomAccessSequence:
     def __len__(self):
         return len(self.usable)
 
-    def __getitem__(self, index: int, time_flip: bool = False) -> dict:
+    def window_range(self, index: int, time_flip: bool = False
+                     ) -> Tuple[int, int]:
+        """(start, stop) repr range of sample `index`'s window."""
         obj_idx = self.usable[index]
         repr_idx = int(self.seq.objframe_idx_2_repr_idx[obj_idx])
         L = self.window
@@ -308,6 +310,23 @@ class RandomAccessSequence:
         else:
             stop = repr_idx + 1
             start = max(stop - L, 0)
+        return start, stop
+
+    def window_class_counts(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(class_ids, counts) of the kept labels inside sample `index`'s
+        window — label-only reads, no event IO (for the weighted sampler,
+        reference: dataset_rnd.py:230-264)."""
+        start, stop = self.window_range(index)
+        labels, _ = self.seq.range_labels(start, stop)
+        ids = [lab.class_id.astype(np.int32) for lab in labels
+               if lab is not None and len(lab)]
+        if not ids:
+            return np.zeros(0, np.int32), np.zeros(0, np.int64)
+        return np.unique(np.concatenate(ids), return_counts=True)
+
+    def __getitem__(self, index: int, time_flip: bool = False) -> dict:
+        L = self.window
+        start, stop = self.window_range(index, time_flip)
         ev = self.seq.read_ev_repr(start, stop)
         labels, skipped = self.seq.range_labels(start, stop, time_flip)
         n = stop - start

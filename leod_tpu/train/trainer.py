@@ -98,7 +98,7 @@ def run_streaming_eval(det: Detector, variables, cfg: ExperimentConfig,
                        shard_index: Optional[int] = None,
                        num_shards: Optional[int] = None,
                        evaluator: Optional[PropheseeEvaluator] = None,
-                       ) -> Optional[Dict[str, float]]:
+                       mesh=None) -> Optional[Dict[str, float]]:
     """Full streaming evaluation of a split -> Prophesee COCO metrics
     (reference: modules/detection.py:300-463, val.py).
 
@@ -109,7 +109,12 @@ def run_streaming_eval(det: Detector, variables, cfg: ExperimentConfig,
     override the jax.process_* defaults (e.g. for tests), and optionally
     an external `evaluator` to accumulate into (its merged contents are
     evaluated; pass one per shard + PropheseeEvaluator.merge to combine
-    shards manually)."""
+    shards manually).
+
+    mesh: a 1-D jax.sharding.Mesh for single-process multi-chip eval —
+    batch rows (= stream slots) and the LSTM state table are sharded
+    over the data axis, exactly like the training step; B must divide
+    the mesh size."""
     from ..parallel.distributed import allgather_evaluator, process_shard
 
     dst = cfg.dataset
@@ -127,6 +132,12 @@ def run_streaming_eval(det: Detector, variables, cfg: ExperimentConfig,
         shard_index, num_shards = shard_index or 0, num_shards or 1
         sync_metrics = False
     B = min(B, len(seqs))
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        if B >= n_dev:
+            B = (B // n_dev) * n_dev      # batch rows must divide the mesh
+        else:
+            mesh = None                   # fewer slots than chips
     loader = EvalStreamLoader(seqs, dst, B, time_flip=time_flip,
                               shard_index=shard_index, num_shards=num_shards)
     M = frames_per_slot or default_frames_per_slot(dst.sequence_length)
@@ -137,6 +148,10 @@ def run_streaming_eval(det: Detector, variables, cfg: ExperimentConfig,
     if evaluator is None:
         evaluator = PropheseeEvaluator(dst.name, dst.downsample_by_factor_2)
     states = det.init_states(B)
+    if mesh is not None:
+        from ..parallel.mesh import replicate, shard_states
+        variables = replicate(mesh, variables)
+        states = shard_states(mesh, states)
     n_cls = cfg.model.head.num_classes
     for bi, batch in enumerate(Prefetcher(iter(loader))):
         if max_batches is not None and bi >= max_batches:
@@ -148,6 +163,9 @@ def run_streaming_eval(det: Detector, variables, cfg: ExperimentConfig,
                   f"frames (budget {M}/slot too small)", flush=True)
         dev = {k: hb[k] for k in ("ev", "is_first", "frame_t", "frame_mask",
                                   "labels")}
+        if mesh is not None:
+            from ..parallel.mesh import shard_batch
+            dev = shard_batch(mesh, dev)
         states, preds = eval_step(variables, states, dev)
         if hb["num_frames"] == 0:
             continue
@@ -413,7 +431,7 @@ class Trainer:
             if (cfg.training.val_check_interval and step %
                     cfg.training.val_check_interval == 0):
                 m = run_streaming_eval(self.det, state.variables, cfg,
-                                       split=eval_split)
+                                       split=eval_split, mesh=self.mesh)
                 if m:
                     self.logger.log({"step": step,
                                      **{f"val/{k}": v for k, v in m.items()}})

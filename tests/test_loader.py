@@ -185,6 +185,40 @@ def test_dense_pseudo_budget_zero_drops(tmp_path):
         assert dropped == 0, (k, M, dropped)
 
 
+def test_weighted_random_sampler(tmp_path):
+    """Class-frequency weighting boosts windows containing rare classes
+    (reference: dataset_rnd.py:228-264)."""
+    import os
+
+    root = str(tmp_path / "wrs")
+    generate_dataset(root, num_train=2, num_val=0, num_test=0,
+                     num_reprs=40, label_every=4, first_label_repr=11,
+                     hw=(64, 96))
+    dirs = sorted(os.path.join(root, "train", d)
+                  for d in os.listdir(os.path.join(root, "train")))
+    # make every label class 0, except ONE frame in dirs[1] -> class 1
+    for k, d in enumerate(dirs):
+        npz = os.path.join(d, "labels_v2", "labels.npz")
+        data = dict(np.load(npz))
+        data["labels"]["class_id"] = 0
+        if k == 1:
+            i0 = data["objframe_idx_2_label_idx"][-1]
+            data["labels"]["class_id"][i0:] = 1
+        np.savez(npz, **data)
+
+    cfg = dataclasses.replace(_cfg(root, L=5), weighted_sampling=True)
+    seqs = open_split_sequences(cfg, "train")
+    loader = RandomTrainLoader(seqs, cfg, batch_size=2, seed=0)
+    probs = loader.probs
+    np.testing.assert_allclose(probs.sum(), 1.0)
+    # class 1 appears in exactly one window -> that sample's weight
+    # includes the whole 1/count_1 mass and must dominate
+    assert probs.max() > 2 * np.median(probs)
+    # and uniform mode has no probs
+    cfg_u = _cfg(root, L=5)
+    assert RandomTrainLoader(seqs, cfg_u, 2, seed=0).probs is None
+
+
 def test_prefetcher_propagates_errors():
     from leod_tpu.data.loader import Prefetcher
 

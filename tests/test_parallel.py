@@ -81,3 +81,35 @@ def test_single_vs_multi_device_equivalence(exp_cfg):
     _, m8 = jax.jit(step_fn)(state8, dev8)
     np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
                                rtol=1e-4)
+
+
+def test_mesh_eval_matches_single_device(exp_cfg):
+    """run_streaming_eval over a device mesh (batch rows + LSTM state
+    table sharded) reproduces the single-device metrics exactly."""
+    from leod_tpu.models.detector import Detector
+    from leod_tpu.train.trainer import run_streaming_eval
+
+    det = Detector(exp_cfg.model, dtype=jnp.float32)
+    variables = det.init(jax.random.PRNGKey(0), batch_size=1)
+    kw = dict(split="train", batch_size=2, frames_per_slot=4,
+              shard_index=0, num_shards=1)
+    m_single = run_streaming_eval(det, variables, exp_cfg, **kw)
+    m_mesh = run_streaming_eval(det, variables, exp_cfg,
+                                mesh=make_mesh(2), **kw)
+    assert m_single is not None and m_mesh is not None
+    for k, v in m_single.items():
+        np.testing.assert_allclose(m_mesh[k], v, rtol=1e-6,
+                                   err_msg=f"metric {k}")
+
+
+def test_mesh_eval_falls_back_when_batch_too_small(exp_cfg):
+    from leod_tpu.models.detector import Detector
+    from leod_tpu.train.trainer import run_streaming_eval
+
+    det = Detector(exp_cfg.model, dtype=jnp.float32)
+    variables = det.init(jax.random.PRNGKey(0), batch_size=1)
+    # 2 sequences < 8 devices: silently falls back to unsharded eval
+    m = run_streaming_eval(det, variables, exp_cfg, split="train",
+                           batch_size=2, frames_per_slot=4,
+                           shard_index=0, num_shards=1, mesh=make_mesh())
+    assert m is not None and np.isfinite(m["AP"])

@@ -34,20 +34,25 @@ def main():
     h, w = cfg.model.backbone.in_res_hw
     c = cfg.model.backbone.input_channels
 
-    def infer(variables, ev, states):
+    def infer(variables, ev, states, bump):
         """One L-frame streaming window: backbone scan + detect on the
         final frame (the eval cadence on Gen1 is ~1 labeled frame per
         window). Uses the fused Pallas attention kernels like the eval
-        path does."""
+        path does.
+
+        `bump` (scalar, derived from the timing-loop carry) is added to
+        the model input AFTER the uint8->bf16 cast so it fuses into the
+        stem's elementwise input processing — bumping the uint8 window
+        itself materializes a full-window copy + slice every iteration
+        (~5% measured harness overhead, tools/trace_agg.py)."""
         fused = det.fused_inference
         def body(carry, x_t):
-            feats, ns = det.forward_backbone(variables,
-                                             x_t.astype(det.dtype), carry,
-                                             fused=fused)
+            feats, ns = det.forward_backbone(
+                variables, x_t.astype(det.dtype) + bump, carry, fused=fused)
             return ns, None
         states, _ = jax.lax.scan(body, states, ev[:-1])
         feats, states = det.forward_backbone(
-            variables, ev[-1].astype(det.dtype), states, fused=fused)
+            variables, ev[-1].astype(det.dtype) + bump, states, fused=fused)
         preds, _ = det.forward_detect(variables, feats, train=False)
         return preds, states
 
@@ -57,21 +62,24 @@ def main():
         """Whole timing loop on device: removes host dispatch latency
         (significant through a remote-TPU tunnel) from the measurement.
 
-        The event input is perturbed by the carried state so no part of
-        the network is loop-invariant — otherwise XLA hoists the
-        carry-independent stage-1 work out of the loop and inflates the
-        number."""
+        The model input is perturbed by the carried state so none of the
+        per-frame network work is loop-invariant — otherwise XLA hoists
+        the carry-independent stage-1 work out of the loop and inflates
+        the number."""
         def body(carry, _):
             # cheap data dependency: one element of the carried LSTM state
-            bump = (carry[0][0][0, 0, 0, 0] > 0).astype(jnp.uint8)
-            preds, states = infer(variables, ev + bump, carry)
+            bump = (carry[0][0][0, 0, 0, 0] > 0).astype(det.dtype)
+            preds, states = infer(variables, ev, carry, bump)
             return states, preds[0, 0, 0]
         states, outs = jax.lax.scan(body, states, None, length=iters)
         return outs, states
 
     run_iters = jax.jit(run_iters, donate_argnums=(2,))
     rng = jax.random.PRNGKey(1)
-    ev = (jax.random.uniform(rng, (L, B, h, w, c)) * 32).astype(jnp.uint8)
+    # pre-folded stem input [.., W/4, 4C]: free on the host loader,
+    # avoids a per-step device layout copy (docs/benchmarks.md)
+    ev = (jax.random.uniform(rng, (L, B, h, w // 4, 4 * c))
+          * 32).astype(jnp.uint8)
     states = det.init_states(B)
 
     # warmup / compile
@@ -124,19 +132,24 @@ def _train_throughput(cfg, det, iters: int = 4):
     labels[:, :, 0] = [0, 150, 120, 60, 40, 1, 1]
     labels[:, :, 1] = [1, 40, 30, 24, 20, 1, 1]
     batch = {
-        "ev": jnp.asarray(rng.integers(0, 50, (L, B, h, w, 20)), jnp.uint8),
+        "ev": jnp.asarray(rng.integers(0, 50, (L, B, h, w // 4, 80)),
+                          jnp.uint8),
         "is_first": jnp.zeros((B,), bool),
         "frame_t": jnp.asarray(
             np.tile(np.linspace(3, L - 1, M, dtype=np.int32), (B, 1))),
         "frame_mask": jnp.ones((B, M), bool),
         "labels": jnp.asarray(labels),
     }
-    train_step = make_train_step(det, optimizer)
+    train_step = make_train_step(
+        det, optimizer, remat=os.environ.get("BENCH_REMAT", "full"))
 
     def run(state, ev):
+        """No input bump needed here: params update every iteration, so
+        the whole forward+backward is already loop-carried — only the
+        uint8->bf16 input cast can hoist, which a real training loop
+        would also amortize."""
         def body(carry, _):
-            bump = (carry.states[0][0][0, 0, 0, 0] > 0).astype(jnp.uint8)
-            st, metrics = train_step(carry, {**batch, "ev": ev + bump})
+            st, metrics = train_step(carry, {**batch, "ev": ev})
             return st, metrics["loss"]
         return jax.lax.scan(body, state, None, length=iters)
 

@@ -48,7 +48,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from leod_tpu.config import derive, experiment_preset
+    from leod_tpu.config import derive, experiment_preset, stem_width_fold
     from leod_tpu.data.loader import harvest_frames, open_split_sequences
     from leod_tpu.data.sequence import WindowedSequence
     from leod_tpu.data.synthetic import generate_dataset
@@ -90,7 +90,8 @@ def main():
         for i in range(len(win)):
             batch = collate([win[i]])
             hb = harvest_frames(batch, L, cfg.model.head.max_gt,
-                                cfg.model.backbone.in_res_hw)
+                                cfg.model.backbone.in_res_hw,
+                                fold_w=stem_width_fold(cfg.model))
             hb["frame_t"] = np.arange(L, dtype=np.int32)[None]
             hb["frame_mask"] = np.ones((1, L), bool)
             dev = {k: hb[k] for k in ("ev", "is_first", "frame_t",

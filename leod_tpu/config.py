@@ -85,6 +85,10 @@ class HeadConfig:
     act: str = "silu"
     depthwise: bool = False
     obj_focal_loss: bool = False
+    # extra L1 loss on raw reg outputs (classic YOLOX enables it for the
+    # final no-augmentation epochs; off in every reference config —
+    # reference: yolo_head.py:147,560-580)
+    use_l1: bool = False
     reg_weight: float = 5.0
     obj_weight: float = 1.0
     cls_weight: float = 1.0
@@ -228,6 +232,22 @@ class TrainingConfig:
     # static budget: max labeled frames per train step handed to the head.
     # <=0 means derive from batch size / sequence length.
     max_det_frames: int = 0
+    # TBPTT remat policy for the backbone scan body: "full" recomputes
+    # everything in the backward pass (lowest memory), "dots" saves
+    # matmul/conv outputs and recomputes the rest, "none" stores all
+    # residuals (fastest when HBM allows)
+    remat: str = "full"
+
+
+def stem_width_fold(model: "ModelConfig") -> int:
+    """Host-side width-fold factor for the event tensor: the stride-4
+    S2D stem (layers._S2DStemConv) accepts [B, H, W/4, 4*C] input, which
+    makes the fold a free host reshape instead of a per-step device
+    layout copy. 1 when the model's stem can't consume folded input."""
+    bb = model.backbone
+    ok = (bb.overlap_downsample and bb.patch_size == 4
+          and bb.in_res_hw[1] % 4 == 0)
+    return 4 if ok else 1
 
 
 @dataclass(frozen=True)

@@ -320,7 +320,8 @@ def concat_batches(batches: List[dict]) -> dict:
 def harvest_frames(batch: dict, frames_per_slot: int, max_gt: int,
                    pad_hw: Tuple[int, int], use_label_every: int = 1,
                    ignore_label: int = 1024,
-                   ignore_image: bool = False) -> dict:
+                   ignore_image: bool = False,
+                   fold_w: int = 1) -> dict:
     """Device-ready arrays: pad ev to `pad_hw`, NHWC time-major, and a
     PER-SLOT static-budget list of labeled timesteps + padded labels.
 
@@ -332,6 +333,10 @@ def harvest_frames(batch: dict, frames_per_slot: int, max_gt: int,
     (reference: modules/detection.py:129-148). `ignore_image` drops
     frames whose boxes are ALL ignore-labeled
     (reference: labels.py:716-729).
+
+    `fold_w` > 1 emits ev pre-folded [L, B, H, W/f, f*C] for the S2D
+    stem (config.stem_width_fold): the fold is free here but costs a
+    per-step layout copy on device (docs/benchmarks.md).
     """
     ev = batch["ev"]                                    # [L, B, C, H, W]
     L, B = ev.shape[:2]
@@ -340,6 +345,10 @@ def harvest_frames(batch: dict, frames_per_slot: int, max_gt: int,
     if (h, w) != pad_hw:
         ev = np.pad(ev, ((0, 0), (0, 0), (0, pad_hw[0] - h),
                          (0, pad_hw[1] - w), (0, 0)))
+    if fold_w > 1:
+        assert pad_hw[1] % fold_w == 0, (pad_hw, fold_w)
+        ev = ev.reshape(L, B, pad_hw[0], pad_hw[1] // fold_w,
+                        fold_w * ev.shape[-1])
 
     M = frames_per_slot
     t_idx = np.zeros((B, M), np.int32)

@@ -13,7 +13,7 @@ from typing import Dict, List, Optional
 import jax
 import numpy as np
 
-from ..config import ExperimentConfig, PostprocessConfig
+from ..config import ExperimentConfig, PostprocessConfig, stem_width_fold
 from ..data.labels import Boxes
 from ..data.loader import (EvalStreamLoader, Prefetcher, harvest_frames,
                            open_split_sequences)
@@ -104,7 +104,8 @@ def run_tta_eval(det: Detector, variables, cfg: ExperimentConfig,
             else:
                 dev_in = batch
             hb = harvest_frames(dev_in, M, cfg.model.head.max_gt,
-                                cfg.model.backbone.in_res_hw)
+                                cfg.model.backbone.in_res_hw,
+                                fold_w=stem_width_fold(cfg.model))
             dev = {k: hb[k] for k in ("ev", "is_first", "frame_t",
                                       "frame_mask", "labels")}
             states, preds = eval_step(variables, states, dev)

@@ -39,10 +39,11 @@ class RVTStage(nn.Module):
     def setup(self):
         c = self.cfg
         self.down = ConvDownsample(self.stage_dim, self.downsample_factor,
+                                   in_channels=c.input_channels,
                                    overlap=c.overlap_downsample,
                                    norm_affine=c.norm_affine,
-                                   norm_eps=c.norm_eps, dtype=self.dtype,
-                                   name="down")
+                                   norm_eps=c.norm_eps,
+                                   dtype=self.dtype, name="down")
         blocks = []
         for i in range(self.num_blocks):
             for kind, skip in (("window", i == 0), ("grid", False)):

@@ -199,13 +199,31 @@ def yolox_loss(train_out: jnp.ndarray, labels: jnp.ndarray,
         bce_with_logits(cls_logits, cls_target) * (bbox_w * fg_f)[..., None]
     ) / denom
 
+    # optional L1 on raw reg outputs vs grid-space targets (reference:
+    # yolo_head.py:560-580,599-605). Decoding is exactly invertible
+    # (xy = (raw+shift)*stride, wh = exp(raw)*stride), so the residual in
+    # raw space is |xy - gt_xy|/stride and |log(wh/stride) -
+    # log(gt_wh/stride + eps)| — no need to thread raw maps to the loss.
+    loss_l1 = jnp.zeros((), f32)
+    if cfg.use_l1:
+        st = anchors.strides[None, :, None]
+        l1 = jnp.concatenate([
+            jnp.abs(boxes[..., 0:2] - gt_boxes[..., 0:2]) / st,
+            jnp.abs(jnp.log(jnp.maximum(boxes[..., 2:4], 1e-20) / st)
+                    - jnp.log(gt_boxes[..., 2:4] / st + 1e-8)),
+        ], axis=-1)
+        loss_l1 = jnp.sum(l1 * (bbox_w * fg_f)[..., None]) / denom
+
     loss_iou = cfg.reg_weight * loss_iou
     loss_obj = cfg.obj_weight * loss_obj
     loss_cls = cfg.cls_weight * loss_cls
-    return {
-        "loss": loss_iou + loss_obj + loss_cls,
+    out = {
+        "loss": loss_iou + loss_obj + loss_cls + loss_l1,
         "iou_loss": loss_iou,
         "conf_loss": loss_obj,
         "cls_loss": loss_cls,
         "num_fg": num_fg / jnp.maximum(num_gt, 1.0),
     }
+    if cfg.use_l1:
+        out["l1_loss"] = loss_l1
+    return out

@@ -171,25 +171,51 @@ class _S2DStemConv(nn.Module):
     after which the conv has 4*C >= 80 input channels and a 7x2 kernel:
     output col j covers input cols 4j-3..4j+3, i.e. width-blocks j-1 and
     j with in-block tap index 4*bw + s - 1 (the tap at -1 is zero).
-    Params identical to nn.Conv: kernel [7, 7, Cin, Cout]."""
+    Params identical to nn.Conv: kernel [7, 7, Cin, Cout].
+
+    Accepts EITHER [B, H, W, Cin] (folds on device) or the pre-folded
+    [B, H, W/4, 4*Cin]: the host-side fold is a free numpy reshape of a
+    contiguous event tensor, while the device-side one costs a per-step
+    layout copy (~7% of end-to-end inference at Gen1 B=16, measured —
+    docs/benchmarks.md); host feeders should fold via `fold_ev_width`."""
     dim_out: int
+    in_channels: int              # raw event channels (Cin before folding)
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        cin = x.shape[-1]
+        cin = self.in_channels
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (7, 7, cin, self.dim_out))
         k = jnp.pad(kernel, ((0, 0), (1, 0), (0, 0), (0, 0)))   # [7,8,ci,co]
         k = k.reshape(7, 2, 4 * cin, self.dim_out)
         dt = self.dtype or x.dtype
-        b, h, w, _ = x.shape
-        assert w % 4 == 0, w
-        x = x.reshape(b, h, w // 4, 4 * cin)
+        if x.shape[-1] == cin:                      # fold on device
+            b, h, w, _ = x.shape
+            assert w % 4 == 0, w
+            x = x.reshape(b, h, w // 4, 4 * cin)
+        else:
+            assert x.shape[-1] == 4 * cin, (x.shape, cin)
         return jax.lax.conv_general_dilated(
             x.astype(dt), k.astype(dt), (4, 1),
             [(3, 3), (1, 0)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def fold_ev_width(ev):
+    """Host-side width fold [..., H, W, C] -> [..., H, W/4, 4*C] for the
+    stride-4 S2D stem (free view on contiguous numpy arrays). Inverse:
+    unfold_ev_width."""
+    *lead, h, w, c = ev.shape
+    assert w % 4 == 0, ev.shape
+    return ev.reshape(*lead, h, w // 4, 4 * c)
+
+
+def unfold_ev_width(ev):
+    """[..., H, W/4, 4*C] -> [..., H, W, C]."""
+    *lead, h, w4, c4 = ev.shape
+    assert c4 % 4 == 0, ev.shape
+    return ev.reshape(*lead, h, w4 * 4, c4 // 4)
 
 
 class ConvDownsample(nn.Module):
@@ -200,6 +226,9 @@ class ConvDownsample(nn.Module):
     (see _S2DStemConv) with an identical param tree."""
     dim_out: int
     factor: int
+    # raw (unfolded) input channels for the factor-4 S2D stem; 0 infers
+    # from the input, which is only safe when the input is NOT prefolded
+    in_channels: int = 0
     overlap: bool = True
     norm_affine: bool = True
     norm_eps: float = 1e-5
@@ -208,7 +237,9 @@ class ConvDownsample(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.overlap and self.factor == 4:
-            x = _S2DStemConv(self.dim_out, dtype=self.dtype, name="conv")(x)
+            x = _S2DStemConv(self.dim_out,
+                             self.in_channels or x.shape[-1],
+                             dtype=self.dtype, name="conv")(x)
         else:
             if self.overlap:
                 k = (self.factor - 1) * 2 + 1

@@ -31,9 +31,10 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def _put_sharded(v, sharding: NamedSharding):
-    """device_put for single-process; under multi-host the host holds only
-    its local rows, so assemble a global array from process-local data."""
-    if jax.process_count() > 1:
+    """device_put when the sharding is fully addressable; otherwise
+    (multi-host mesh) assemble a global array from this process's local
+    rows via make_array_from_process_local_data."""
+    if not sharding.is_fully_addressable:
         return jax.make_array_from_process_local_data(sharding, np.asarray(v))
     return jax.device_put(v, sharding)
 
@@ -55,16 +56,38 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
     s = NamedSharding(mesh, P())
-    if jax.process_count() > 1:
+    if not s.is_fully_addressable:
         return jax.tree.map(
             lambda v: jax.make_array_from_process_local_data(
                 s, np.asarray(v)), tree)
     return jax.device_put(tree, s)
 
 
+def local_mesh(mesh: Mesh) -> Mesh:
+    """This process's slice of a (possibly multi-host) 1-D mesh. Used by
+    host-local computations (streaming eval postprocess) that must read
+    results back with numpy: a multi-host global array is not fully
+    addressable, so per-process work runs on a local mesh instead."""
+    mine = [d for d in mesh.devices.reshape(-1)
+            if d.process_index == jax.process_index()]
+    return Mesh(np.array(mine), mesh.axis_names)
+
+
 def shard_states(mesh: Mesh, states: Any) -> Any:
-    """LSTM state table rows follow their batch slots. Multi-host callers
-    build the zero table inside jit instead (state rows are process-local
-    there by construction)."""
+    """LSTM state table rows follow their batch slots.
+
+    Multi-host: callers pass the GLOBAL-size zero table; each process
+    contributes its local row block [p*B_local, (p+1)*B_local) — the
+    state rows a process owns are exactly its batch slots (see
+    Trainer.make_train_loader slot_offset)."""
     s = NamedSharding(mesh, P(DATA_AXIS))
+    if not s.is_fully_addressable:
+        p, n = jax.process_index(), jax.process_count()
+
+        def put(v):
+            assert v.shape[0] % n == 0, (v.shape, n)
+            rows = v.shape[0] // n
+            return jax.make_array_from_process_local_data(
+                s, np.asarray(v[p * rows:(p + 1) * rows]))
+        return jax.tree.map(put, states)
     return jax.tree.map(lambda v: _put_sharded(v, s), states)

@@ -33,8 +33,30 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+_REMAT_POLICIES = {
+    # recompute everything in the backward scan pass (lowest memory)
+    "full": None,
+    # save matmul/conv outputs, recompute elementwise/layout work:
+    # trades HBM for a much cheaper backward at Gen1 activation sizes
+    "dots": "dots_with_no_batch_dims_saveable",
+    # no remat: XLA stores all scan-body residuals (fastest if it fits)
+    "none": (),
+}
+
+
+def _remat_body(body, policy: str):
+    """Wrap a scan body per the TBPTT remat policy (see _REMAT_POLICIES)."""
+    if policy == "none":
+        return body
+    name = _REMAT_POLICIES[policy]
+    kw = {} if name is None else {
+        "policy": getattr(jax.checkpoint_policies, name)}
+    return functools.partial(jax.checkpoint, prevent_cse=False, **kw)(body)
+
+
 def _scan_backbone(det: Detector, variables, states0, ev_seq,
-                   prebatch_stage1: bool = False, fused: bool = False):
+                   prebatch_stage1: bool = False, fused: bool = False,
+                   remat: str = "full"):
     """Scan the backbone over time; returns FPN-stage features per step.
 
     ev_seq [L, B, H, W, C] (any dtype; cast to compute dtype here).
@@ -46,6 +68,9 @@ def _scan_backbone(det: Detector, variables, states0, ev_seq,
     for the backward costs more HBM traffic than remat recompute), and
     XLA already performs the equivalent pipelining for inference — so it
     stays off by default; kept as an option for future hardware.
+
+    remat: TBPTT rematerialization policy for the scan body
+    ("full" | "dots" | "none", see _REMAT_POLICIES).
     """
     stages = det.cfg.fpn.in_stages
 
@@ -55,21 +80,21 @@ def _scan_backbone(det: Detector, variables, states0, ev_seq,
         y1 = det.forward_stage1_pre(variables, flat)
         y1 = y1.reshape((L, B) + y1.shape[1:])
 
-        @functools.partial(jax.checkpoint, prevent_cse=False)
         def body(carry, y_t):
             feats, new_states = det.forward_from_stage1(variables, y_t, carry)
             return new_states, tuple(feats[s] for s in stages)
 
-        final_states, feats_seq = jax.lax.scan(body, states0, y1)
+        final_states, feats_seq = jax.lax.scan(_remat_body(body, remat),
+                                               states0, y1)
         return final_states, dict(zip(stages, feats_seq))
 
-    @functools.partial(jax.checkpoint, prevent_cse=False)
     def body(carry, x_t):
         feats, new_states = det.forward_backbone(
             variables, x_t.astype(det.dtype), carry, fused=fused)
         return new_states, tuple(feats[s] for s in stages)
 
-    final_states, feats_seq = jax.lax.scan(body, states0, ev_seq)
+    final_states, feats_seq = jax.lax.scan(_remat_body(body, remat),
+                                           states0, ev_seq)
     return final_states, dict(zip(stages, feats_seq))
 
 
@@ -85,7 +110,8 @@ def _gather_frames(feats_seq: Dict[int, jnp.ndarray], frame_t: jnp.ndarray):
     return {s: one(f) for s, f in feats_seq.items()}
 
 
-def make_train_step(det: Detector, optimizer, with_preds: bool = False):
+def make_train_step(det: Detector, optimizer, with_preds: bool = False,
+                    remat: str = "full"):
     """Returns train_step(state, batch) -> (state, metrics).
 
     batch: ev [L,B,H,W,C], is_first [B], frame_t [B,M], frame_mask [B,M],
@@ -95,6 +121,8 @@ def make_train_step(det: Detector, optimizer, with_preds: bool = False):
     (eval-style sigmoided detections for the harvested frames) for the
     train-time pred-vs-GT visualization hook (reference:
     callbacks/detection.py:20-107). Costs nothing unless fetched.
+
+    remat: TBPTT remat policy for the backbone scan (TrainingConfig.remat).
     """
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
@@ -104,7 +132,8 @@ def make_train_step(det: Detector, optimizer, with_preds: bool = False):
         def loss_fn(params):
             v = {"params": params, "batch_stats": batch_stats}
             final_states, feats_seq = _scan_backbone(det, v, states0,
-                                                     batch["ev"])
+                                                     batch["ev"],
+                                                     remat=remat)
             feats = _gather_frames(feats_seq, batch["frame_t"])
             out, new_stats = det.forward_detect(v, feats, train=True)
             labels = batch["labels"].reshape((-1,) + batch["labels"].shape[2:])

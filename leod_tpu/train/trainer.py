@@ -24,7 +24,7 @@ try:
 except Exception:                                   # pragma: no cover
     ocp = None
 
-from ..config import ExperimentConfig
+from ..config import ExperimentConfig, stem_width_fold
 from ..data.loader import (EvalStreamLoader, MixedTrainLoader, Prefetcher,
                            RandomTrainLoader, StreamTrainLoader,
                            harvest_frames, open_split_sequences)
@@ -70,15 +70,22 @@ def default_frames_per_slot(seq_len: int, use_label_every: int = 1) -> int:
 
 
 class MetricLogger:
+    """JSONL + stdout metrics. Multi-host: only process 0 writes
+    (losses/metrics are replicated, so every rank would log identical
+    records — reference logs on rank 0 via Lightning)."""
+
     def __init__(self, path: Optional[str]):
         self.path = path
-        if path:
+        self._primary = jax.process_index() == 0
+        if path and self._primary:
             os.makedirs(os.path.dirname(path), exist_ok=True)
             self._f = open(path, "a")
         else:
             self._f = None
 
     def log(self, record: Dict[str, Any]):
+        if not self._primary:
+            return
         rec = {k: (float(v) if isinstance(v, (jnp.ndarray, np.ndarray,
                                               np.floating)) else v)
                for k, v in record.items()}
@@ -116,6 +123,16 @@ def run_streaming_eval(det: Detector, variables, cfg: ExperimentConfig,
     over the data axis, exactly like the training step; B must divide
     the mesh size."""
     from ..parallel.distributed import allgather_evaluator, process_shard
+
+    if jax.process_count() > 1:
+        # per-process shard evaluation is host-local work: postprocess
+        # results are read back with numpy, which a global multi-host
+        # array does not allow. Run on this process's local devices and
+        # pull the (replicated) weights to host first.
+        variables = jax.tree.map(np.asarray, variables)
+        if mesh is not None:
+            from ..parallel.mesh import local_mesh
+            mesh = local_mesh(mesh)
 
     dst = cfg.dataset
     B = batch_size or cfg.training.batch_size_eval
@@ -157,7 +174,8 @@ def run_streaming_eval(det: Detector, variables, cfg: ExperimentConfig,
         if max_batches is not None and bi >= max_batches:
             break
         hb = harvest_frames(batch, M, cfg.model.head.max_gt,
-                            cfg.model.backbone.in_res_hw)
+                            cfg.model.backbone.in_res_hw,
+                            fold_w=stem_width_fold(cfg.model))
         if hb["dropped_frames"]:
             print(f"WARNING: eval dropped {hb['dropped_frames']} labeled "
                   f"frames (budget {M}/slot too small)", flush=True)
@@ -238,6 +256,12 @@ class Trainer:
                    "batch_stats": state.variables["batch_stats"],
                    "opt_state": state.opt_state,
                    "step": state.step}
+        if jax.process_count() > 1:
+            # every saved leaf is replicated, so each rank's host copy is
+            # the whole checkpoint; saving numpy avoids the distributed
+            # array-shard protocol. ALL ranks must still make this call —
+            # orbax runs a sync_global_devices barrier inside save().
+            payload = jax.tree.map(np.asarray, payload)
         self._ckpt.save(path, payload, force=True)
 
     def latest_checkpoint(self) -> Optional[str]:
@@ -314,8 +338,7 @@ class Trainer:
                               slot_offset=p * b_rand)), (b_stream + b_rand) * n
 
     # -- visualization -------------------------------------------------------
-    @staticmethod
-    def _viz_payload(hb: Dict[str, Any]) -> Optional[Dict[str, Any]]:
+    def _viz_payload(self, hb: Dict[str, Any]) -> Optional[Dict[str, Any]]:
         """Host-side data for one pred-vs-GT panel: the first harvested
         labeled frame of the batch (ev frame copy, its GT Boxes, and the
         flat row index into the train step's preds output)."""
@@ -325,7 +348,11 @@ class Trainer:
             return None
         b, m = (int(v) for v in rows[0])
         t = int(hb["frame_t"][b, m])
-        return {"ev": np.asarray(hb["ev"][t, b]).copy(),
+        ev = np.asarray(hb["ev"][t, b])
+        if ev.shape[-1] != self.cfg.model.backbone.input_channels:
+            from ..models.layers import unfold_ev_width
+            ev = unfold_ev_width(ev)           # stem-folded (harvest fold_w)
+        return {"ev": ev.copy(),
                 "gt": hb["boxes"][b][m],
                 "row": b * mask.shape[1] + m}
 
@@ -360,10 +387,14 @@ class Trainer:
         loader, B = self.make_train_loader(seed)
         if state is None:
             state = self.init_state(B, seed)
-        viz_every = cfg.training.viz_every_steps
+        # viz reads one pred row back to host; under multi-host the preds
+        # array spans non-addressable devices, so panels are single-host
+        viz_every = (cfg.training.viz_every_steps
+                     if jax.process_count() == 1 else 0)
         train_step = jax.jit(
             make_train_step(self.det, self.optimizer,
-                            with_preds=viz_every > 0),
+                            with_preds=viz_every > 0,
+                            remat=cfg.training.remat),
             donate_argnums=(0,))
         M = (cfg.training.max_det_frames or
              default_frames_per_slot(cfg.dataset.sequence_length,
@@ -385,7 +416,8 @@ class Trainer:
                                     cfg.model.backbone.in_res_hw,
                                     use_label_every=cfg.model.use_label_every,
                                     ignore_label=cfg.model.head.ignore_label,
-                                    ignore_image=cfg.model.ignore_image)
+                                    ignore_image=cfg.model.ignore_image,
+                                    fold_w=stem_width_fold(cfg.model))
                 dev = {k: hb[k] for k in ("ev", "is_first", "frame_t",
                                           "frame_mask", "labels")}
                 if self.mesh is not None:

@@ -158,3 +158,25 @@ def test_prebatch_stage1_equivalence(det_and_vars):
     for a, b in zip(jax.tree.leaves(s_a), jax.tree.leaves(s_b)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_stem_folded_input_equivalence(det_and_vars):
+    """The S2D stem accepts host-prefolded input [B, H, W/4, 4C]
+    (config.stem_width_fold / loader.harvest_frames fold_w) and must
+    produce bit-identical features to the unfolded [B, H, W, C] path —
+    the fold is the same reshape, moved off-device."""
+    from leod_tpu.models.layers import fold_ev_width, unfold_ev_width
+
+    det, variables = det_and_vars
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 50, (2, 64, 96, 20)).astype(np.float32)
+    states = det.init_states(2, jnp.float32)
+
+    f_plain, _ = det.forward_backbone(variables, jnp.asarray(x), states)
+    folded = fold_ev_width(x)
+    assert folded.shape == (2, 64, 24, 80)
+    np.testing.assert_array_equal(unfold_ev_width(folded), x)
+    f_fold, _ = det.forward_backbone(variables, jnp.asarray(folded), states)
+    for s in f_plain:
+        np.testing.assert_array_equal(np.asarray(f_plain[s]),
+                                      np.asarray(f_fold[s]))

@@ -38,7 +38,7 @@ def main():
     det = Detector(cfg.model, dtype=jnp.bfloat16)
     v = det.init(jax.random.PRNGKey(0), batch_size=1)
     h, w = cfg.model.backbone.in_res_hw
-    x = jnp.zeros((B, h, w, 20), jnp.bfloat16)
+    x = jnp.zeros((B, h, w // 4, 80), jnp.bfloat16)
     states = det.init_states(B)
 
     feats, _ = jax.jit(det.forward_backbone)(v, x, states)

@@ -36,7 +36,8 @@ def main():
     labels = np.zeros((B, M, G, 7), np.float32)
     labels[:, :, :2] = [0, 150, 120, 40, 30, 1, 1]
     batch = {
-        "ev": jnp.asarray(rng.integers(0, 40, (L, B, h, w, 20)), jnp.uint8),
+        "ev": jnp.asarray(rng.integers(0, 40, (L, B, h, w // 4, 80)),
+                          jnp.uint8),
         "is_first": jnp.zeros(B, bool),
         "frame_t": jnp.asarray(
             np.tile(np.linspace(2, L - 1, M).astype(np.int32), (B, 1))),
@@ -48,11 +49,13 @@ def main():
         import leod_tpu.train.step as step_mod
         orig = step_mod._scan_backbone
 
-        def patched(det_, v, s, e, prebatch_stage1=True, _pb=prebatch):
-            return orig(det_, v, s, e, prebatch_stage1=_pb)
+        def patched(det_, v, s, e, _pb=prebatch, **kw):
+            kw.pop("prebatch_stage1", None)
+            return orig(det_, v, s, e, prebatch_stage1=_pb, **kw)
 
         step_mod._scan_backbone = patched
-        train_step = jax.jit(step_mod.make_train_step(det, optimizer))
+        train_step = jax.jit(step_mod.make_train_step(
+            det, optimizer, remat=os.environ.get("PROF_REMAT", "full")))
         state = TrainState(variables=variables,
                            opt_state=optimizer.init(variables["params"]),
                            states=det.init_states(B),

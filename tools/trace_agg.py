@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Capture a jax.profiler trace of the flagship inference loop and
+aggregate device-lane op durations.
+
+Per CLAUDE.md: isolated-component scan timings carry a fixed layout-copy
+overhead at the loop boundary, so the only trustworthy attribution is a
+real device trace of the full step. This automates the capture +
+aggregation: prints total device time per fused-op category and the top
+individual ops, for one L-window inference iteration.
+
+Usage: python tools/trace_agg.py [out_dir]
+Env: PROF_BATCH (16), PROF_ITERS (8)
+"""
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def capture(out_dir: str):
+    from leod_tpu.config import experiment_preset
+    from leod_tpu.models.detector import Detector
+
+    B = int(os.environ.get("PROF_BATCH", "16"))
+    L = int(os.environ.get("PROF_SEQ_LEN", "21"))
+    iters = int(os.environ.get("PROF_ITERS", "8"))
+    cfg = experiment_preset("gen1", "base")
+    det = Detector(cfg.model, dtype=jnp.bfloat16)
+    variables = det.init(jax.random.PRNGKey(0), batch_size=1)
+    h, w = cfg.model.backbone.in_res_hw
+
+    def infer(variables, ev, states, bump):
+        # bump post-cast so it fuses elementwise (see bench.py)
+        def body(carry, x_t):
+            _, ns = det.forward_backbone(
+                variables, x_t.astype(det.dtype) + bump, carry)
+            return ns, None
+        states, _ = jax.lax.scan(body, states, ev[:-1])
+        feats, states = det.forward_backbone(
+            variables, ev[-1].astype(det.dtype) + bump, states)
+        preds, _ = det.forward_detect(variables, feats, train=False)
+        return preds, states
+
+    def run_iters(variables, ev, states):
+        def body(carry, _):
+            bump = (carry[0][0][0, 0, 0, 0] > 0).astype(det.dtype)
+            preds, states = infer(variables, ev, carry, bump)
+            return states, preds[0, 0, 0]
+        states, outs = jax.lax.scan(body, states, None, length=iters)
+        return outs, states
+
+    run_iters = jax.jit(run_iters)
+    ev = (jax.random.uniform(jax.random.PRNGKey(1), (L, B, h, w // 4, 80))
+          * 32).astype(jnp.uint8)
+    states = det.init_states(B)
+    outs, _ = run_iters(variables, ev, states)       # compile
+    outs.block_until_ready()
+
+    with jax.profiler.trace(out_dir):
+        outs, _ = run_iters(variables, ev, states)
+        outs.block_until_ready()
+    return iters * L, iters
+
+
+def categorize(name: str) -> str:
+    n = name.lower()
+    if "fusion" in n and ("conv" in n or "dot" in n or "gemm" in n):
+        return "gemm/conv fusion"
+    if n.startswith("%convolution") or n.startswith("convolution"):
+        return "convolution"
+    if n.startswith("%dot") or "dot." in n or n.startswith("dot"):
+        return "dot"
+    if "copy" in n or "transpose" in n or "bitcast" in n:
+        return "layout copy/transpose"
+    if "reduce" in n or "convert" in n:
+        return "reduce/convert"
+    if "fusion" in n:
+        return "other fusion"
+    if "dynamic" in n or "slice" in n or "scatter" in n or "gather" in n:
+        return "slice/gather"
+    return "misc"
+
+
+def aggregate(out_dir: str, steps: int):
+    paths = glob.glob(os.path.join(
+        out_dir, "plugins", "profile", "*", "*.trace.json.gz"))
+    assert paths, f"no trace under {out_dir}"
+    path = max(paths, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        trace = json.load(f)
+    events = trace["traceEvents"]
+    # device lanes: pids whose process name mentions TPU/device XLA ops
+    pid_names = {e["pid"]: e["args"].get("name", "")
+                 for e in events if e.get("ph") == "M"
+                 and e.get("name") == "process_name"}
+    dev_pids = {pid for pid, n in pid_names.items()
+                if "TPU" in n or "/device" in n.lower() or "XLA Op" in n}
+    by_op = collections.Counter()
+    by_cat = collections.Counter()
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        name = e.get("name", "?")
+        if name.startswith("jit_") or "XLA Modules" in str(
+                pid_names.get(e.get("pid"), "")):
+            continue
+        dur = e.get("dur", 0) / 1e3            # us -> ms
+        by_op[name] += dur
+        by_cat[categorize(name)] += dur
+        total += dur
+    print(f"trace: {path}")
+    print(f"device op time total: {total:.2f} ms over {steps} frames "
+          f"-> {total / steps:.3f} ms/frame-step\n")
+    print("== by category ==")
+    for cat, ms in by_cat.most_common():
+        print(f"{ms:9.2f} ms  {ms / total * 100:5.1f}%  {cat}")
+    print("\n== top 30 ops ==")
+    for name, ms in by_op.most_common(30):
+        print(f"{ms:9.2f} ms  {ms / total * 100:5.1f}%  {name[:110]}")
+
+
+def main():
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/leod_trace"
+    os.makedirs(out_dir, exist_ok=True)
+    steps, _ = capture(out_dir)
+    time.sleep(1)
+    aggregate(out_dir, steps)
+
+
+if __name__ == "__main__":
+    main()

@@ -25,12 +25,15 @@ def main():
     from leod_tpu.config import experiment_preset
     from leod_tpu.models.detector import Detector
 
-    cfg = experiment_preset("gen1", "base")
+    dataset = os.environ.get("BENCH_DATASET", "gen1")
+    cfg = experiment_preset(dataset, os.environ.get("BENCH_SIZE", "base"))
     det = Detector(cfg.model, dtype=jnp.bfloat16)
     variables = det.init(jax.random.PRNGKey(0), batch_size=1)
 
-    B = int(os.environ.get("BENCH_BATCH", "16"))
-    L = int(os.environ.get("BENCH_SEQ_LEN", "21"))
+    # gen4 defaults mirror the reference workload (bs 8, L=5,
+    # docs/benchmark.md:16); gen1 is the headline config
+    B = int(os.environ.get("BENCH_BATCH", "16" if dataset == "gen1" else "8"))
+    L = int(os.environ.get("BENCH_SEQ_LEN", "21" if dataset == "gen1" else "5"))
     h, w = cfg.model.backbone.in_res_hw
     c = cfg.model.backbone.input_channels
 
@@ -93,7 +96,7 @@ def main():
 
     frames_per_s = iters * B * L / dt
     record = {
-        "metric": "rvt_b_gen1_inference_throughput",
+        "metric": f"rvt_b_{dataset}_inference_throughput",
         "value": round(frames_per_s, 2),
         "unit": "event_frames_per_s_per_chip",
         "vs_baseline": round(frames_per_s / BASELINE_FRAMES_PER_S, 4),

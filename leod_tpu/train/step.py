@@ -39,6 +39,9 @@ _REMAT_POLICIES = {
     # save matmul/conv outputs, recompute elementwise/layout work:
     # trades HBM for a much cheaper backward at Gen1 activation sizes
     "dots": "dots_with_no_batch_dims_saveable",
+    # recompute only stage 1's downsample+attention (the bulk of the
+    # activation bytes at 4x resolution); stages 2-4 store residuals
+    "stage1": "stage1",
     # no remat: XLA stores all scan-body residuals (fastest if it fits)
     "none": (),
 }
@@ -46,7 +49,7 @@ _REMAT_POLICIES = {
 
 def _remat_body(body, policy: str):
     """Wrap a scan body per the TBPTT remat policy (see _REMAT_POLICIES)."""
-    if policy == "none":
+    if policy in ("none", "stage1"):      # stage1 checkpoints inside body
         return body
     name = _REMAT_POLICIES[policy]
     kw = {} if name is None else {
@@ -88,10 +91,21 @@ def _scan_backbone(det: Detector, variables, states0, ev_seq,
                                                states0, y1)
         return final_states, dict(zip(stages, feats_seq))
 
-    def body(carry, x_t):
-        feats, new_states = det.forward_backbone(
-            variables, x_t.astype(det.dtype), carry, fused=fused)
-        return new_states, tuple(feats[s] for s in stages)
+    if remat == "stage1" and not det.cfg.backbone.enable_masking:
+        # recompute only the stage-1 attention stack in the backward
+        # pass; the (much smaller) stage 2-4 residuals are stored
+        stage1_pre = functools.partial(jax.checkpoint, prevent_cse=False)(
+            lambda x: det.forward_stage1_pre(variables, x))
+
+        def body(carry, x_t):
+            y1 = stage1_pre(x_t.astype(det.dtype))
+            feats, new_states = det.forward_from_stage1(variables, y1, carry)
+            return new_states, tuple(feats[s] for s in stages)
+    else:
+        def body(carry, x_t):
+            feats, new_states = det.forward_backbone(
+                variables, x_t.astype(det.dtype), carry, fused=fused)
+            return new_states, tuple(feats[s] for s in stages)
 
     final_states, feats_seq = jax.lax.scan(_remat_body(body, remat),
                                            states0, ev_seq)

@@ -77,3 +77,46 @@ def test_fit_and_eval_and_resume(exp_cfg):
     # continue training from the restored state
     st4 = trainer.fit(max_steps=6, state=st3)
     assert int(st4.step) == 6
+
+
+def test_remat_policies_equivalent():
+    """Every TBPTT remat policy (TrainingConfig.remat) computes the SAME
+    step: identical loss and gradient norm; only the backward-pass
+    recompute/storage trade-off differs."""
+    import jax
+    from leod_tpu.models.detector import Detector
+    from leod_tpu.train.optim import make_optimizer
+    from leod_tpu.train.step import TrainState, make_train_step
+
+    model = ModelConfig(
+        backbone=BackboneConfig(embed_dim=32, in_res_hw=(64, 96),
+                                partition_size=(2, 3)),
+        head=HeadConfig(num_classes=2, max_gt=8))
+    tc = TrainingConfig(learning_rate=1e-4)
+    det = Detector(model, dtype=jnp.float32)
+    variables = det.init(jax.random.PRNGKey(0), batch_size=1)
+    optimizer, _ = make_optimizer(tc)
+    B, L, M = 2, 3, 2
+    rng = np.random.default_rng(0)
+    labels = np.zeros((B, M, 8, 7), np.float32)
+    labels[:, :, 0] = [0, 40, 30, 24, 20, 1, 1]
+    batch = {
+        "ev": jnp.asarray(rng.integers(0, 50, (L, B, 64, 96, 20)),
+                          jnp.uint8),
+        "is_first": jnp.zeros((B,), bool),
+        "frame_t": jnp.asarray(np.tile([L - 2, L - 1], (B, 1)), jnp.int32),
+        "frame_mask": jnp.ones((B, M), bool),
+        "labels": jnp.asarray(labels),
+    }
+    results = {}
+    for remat in ("full", "dots", "stage1", "none"):
+        state = TrainState(variables=variables,
+                           opt_state=optimizer.init(variables["params"]),
+                           states=det.init_states(B, jnp.float32),
+                           step=jnp.zeros((), jnp.int32))
+        step = jax.jit(make_train_step(det, optimizer, remat=remat))
+        _, m = step(state, batch)
+        results[remat] = (float(m["loss"]), float(m["grad_norm"]))
+    ref = results["full"]
+    for k, v in results.items():
+        np.testing.assert_allclose(v, ref, rtol=1e-5, err_msg=k)

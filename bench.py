@@ -2,11 +2,14 @@
 """Benchmark: RVT-B streaming inference throughput on one chip.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
-Baseline target: 2,000 event-frames/s/chip (BASELINE.md north star).
+Baseline target: 2,000 event-frames/s/chip (BASELINE.md north star,
+Gen1-specific). BENCH_DATASET=gen4 reproduces the 1Mpx number.
 
 Measures the full detection path the way eval runs it: lax.scan of the
 recurrent backbone over L timesteps with carried LSTM state + FPN/head
-on the final frame, bf16, Gen1 resolution (256x320 padded), batch B.
+on the final frame, bf16, stem-folded input, batch B. The workload
+builders are shared with tools/mfu.py so both tools measure the same
+program.
 """
 import json
 import os
@@ -16,6 +19,81 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_FRAMES_PER_S = 2000.0
+
+
+def build_infer(det):
+    """infer(variables, ev, states, bump) — one L-frame streaming
+    window: backbone scan + detect on the final frame (the eval cadence
+    on Gen1 is ~1 labeled frame per window).
+
+    `bump` (scalar, derived from a timing-loop carry; pass 0 outside
+    on-device loops) is added to the model input AFTER the uint8->bf16
+    cast so it fuses into the stem's elementwise input processing —
+    bumping the uint8 window itself materializes a full-window copy +
+    slice every iteration (~5% measured harness overhead,
+    tools/trace_agg.py)."""
+    import jax
+
+    def infer(variables, ev, states, bump):
+        fused = det.fused_inference
+
+        def body(carry, x_t):
+            feats, ns = det.forward_backbone(
+                variables, x_t.astype(det.dtype) + bump, carry, fused=fused)
+            return ns, None
+        states, _ = jax.lax.scan(body, states, ev[:-1])
+        feats, states = det.forward_backbone(
+            variables, ev[-1].astype(det.dtype) + bump, states, fused=fused)
+        preds, _ = det.forward_detect(variables, feats, train=False)
+        return preds, states
+    return infer
+
+
+def make_ev(cfg, B, L, seed: int = 1):
+    """Synthetic uint8 event window [L, B, H, W/f, f*C], stem-folded
+    exactly like the host loader ships it (docs/benchmarks.md)."""
+    import jax
+    import jax.numpy as jnp
+    from leod_tpu.config import stem_width_fold
+
+    h, w = cfg.model.backbone.in_res_hw
+    c = cfg.model.backbone.input_channels
+    f = stem_width_fold(cfg.model)
+    return (jax.random.uniform(jax.random.PRNGKey(seed),
+                               (L, B, h, w // f, f * c))
+            * 32).astype(jnp.uint8)
+
+
+def build_train_setup(cfg, det, B: int = 8, M: int = 6):
+    """(state, batch, optimizer) for the Gen1 train recipe on synthetic
+    data — shared by the throughput and MFU tools."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from leod_tpu.train.optim import make_optimizer
+    from leod_tpu.train.step import TrainState
+
+    L = cfg.dataset.sequence_length
+    G = cfg.model.head.max_gt
+    variables = det.init(jax.random.PRNGKey(0), batch_size=1)
+    optimizer, _ = make_optimizer(cfg.training)
+    state = TrainState(variables=variables,
+                       opt_state=optimizer.init(variables["params"]),
+                       states=det.init_states(B),
+                       step=jnp.zeros((), jnp.int32))
+    labels = np.zeros((B, M, G, 7), np.float32)
+    labels[:, :, 0] = [0, 150, 120, 60, 40, 1, 1]
+    labels[:, :, 1] = [1, 40, 30, 24, 20, 1, 1]
+    batch = {
+        "ev": make_ev(cfg, B, L, seed=0),
+        "is_first": jnp.zeros((B,), bool),
+        "frame_t": jnp.asarray(
+            np.tile(np.linspace(3, L - 1, M, dtype=np.int32), (B, 1))),
+        "frame_mask": jnp.ones((B, M), bool),
+        "labels": jnp.asarray(labels),
+    }
+    return state, batch, optimizer
 
 
 def main():
@@ -34,31 +112,7 @@ def main():
     # docs/benchmark.md:16); gen1 is the headline config
     B = int(os.environ.get("BENCH_BATCH", "16" if dataset == "gen1" else "8"))
     L = int(os.environ.get("BENCH_SEQ_LEN", "21" if dataset == "gen1" else "5"))
-    h, w = cfg.model.backbone.in_res_hw
-    c = cfg.model.backbone.input_channels
-
-    def infer(variables, ev, states, bump):
-        """One L-frame streaming window: backbone scan + detect on the
-        final frame (the eval cadence on Gen1 is ~1 labeled frame per
-        window). Uses the fused Pallas attention kernels like the eval
-        path does.
-
-        `bump` (scalar, derived from the timing-loop carry) is added to
-        the model input AFTER the uint8->bf16 cast so it fuses into the
-        stem's elementwise input processing — bumping the uint8 window
-        itself materializes a full-window copy + slice every iteration
-        (~5% measured harness overhead, tools/trace_agg.py)."""
-        fused = det.fused_inference
-        def body(carry, x_t):
-            feats, ns = det.forward_backbone(
-                variables, x_t.astype(det.dtype) + bump, carry, fused=fused)
-            return ns, None
-        states, _ = jax.lax.scan(body, states, ev[:-1])
-        feats, states = det.forward_backbone(
-            variables, ev[-1].astype(det.dtype) + bump, states, fused=fused)
-        preds, _ = det.forward_detect(variables, feats, train=False)
-        return preds, states
-
+    infer = build_infer(det)
     iters = int(os.environ.get("BENCH_ITERS", "10"))
 
     def run_iters(variables, ev, states):
@@ -78,11 +132,7 @@ def main():
         return outs, states
 
     run_iters = jax.jit(run_iters, donate_argnums=(2,))
-    rng = jax.random.PRNGKey(1)
-    # pre-folded stem input [.., W/4, 4C]: free on the host loader,
-    # avoids a per-step device layout copy (docs/benchmarks.md)
-    ev = (jax.random.uniform(rng, (L, B, h, w // 4, 4 * c))
-          * 32).astype(jnp.uint8)
+    ev = make_ev(cfg, B, L)
     states = det.init_states(B)
 
     # warmup / compile
@@ -99,8 +149,16 @@ def main():
         "metric": f"rvt_b_{dataset}_inference_throughput",
         "value": round(frames_per_s, 2),
         "unit": "event_frames_per_s_per_chip",
-        "vs_baseline": round(frames_per_s / BASELINE_FRAMES_PER_S, 4),
     }
+    if dataset == "gen1":
+        # the 2,000 frames/s north star is Gen1-specific (BASELINE.md);
+        # a ratio against it would mislead for other presets
+        record["vs_baseline"] = round(frames_per_s / BASELINE_FRAMES_PER_S, 4)
+    if os.environ.get("BENCH_LATENCY", "1") != "0":
+        try:
+            record["b1_latency_ms"] = round(_b1_latency(cfg, det), 3)
+        except Exception as e:                      # pragma: no cover
+            record["latency_error"] = f"{type(e).__name__}: {e}"
     if os.environ.get("BENCH_TRAIN", "1") != "0":
         try:
             record["train_frames_per_s"] = round(
@@ -110,39 +168,54 @@ def main():
     print(json.dumps(record))
 
 
+def _b1_latency(cfg, det, iters: int = 100):
+    """Per-frame detect latency at batch 1 (BASELINE.md north star:
+    p50 per-frame detect latency). One frame = backbone step + FPN +
+    head + decode with carried LSTM state — the real-time streaming
+    cadence. Measured as the mean of an on-device loop (per-call host
+    timing through the remote-TPU tunnel would measure the tunnel);
+    the loop is state-carried so iterations serialize."""
+    import jax
+    import jax.numpy as jnp
+
+    def one_frame(variables, x, states, bump):
+        feats, states = det.forward_backbone(
+            variables, x.astype(det.dtype) + bump, states,
+            fused=det.fused_inference)
+        preds, _ = det.forward_detect(variables, feats, train=False)
+        return preds, states
+
+    def run(variables, x, states):
+        def body(carry, _):
+            bump = (carry[0][0][0, 0, 0, 0] > 0).astype(det.dtype)
+            preds, states = one_frame(variables, x, carry, bump)
+            return states, preds[0, 0, 0]
+        states, outs = jax.lax.scan(body, states, None, length=iters)
+        return outs, states
+
+    variables = det.init(jax.random.PRNGKey(0), batch_size=1)
+    run = jax.jit(run, donate_argnums=(2,))
+    x = make_ev(cfg, 1, 1)[0]
+    states = det.init_states(1)
+    outs, states = run(variables, x, states)
+    outs.block_until_ready()
+    t0 = time.perf_counter()
+    outs, states = run(variables, x, states)
+    outs.block_until_ready()
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
 def _train_throughput(cfg, det, iters: int = 4):
     """On-device train-step throughput at the Gen1 recipe (bs 8, L=21,
     AdamW + remat scan) so backward/scan-path perf regressions are
     visible round over round (BENCH_TRAIN=0 skips)."""
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
-    from leod_tpu.train.optim import make_optimizer
-    from leod_tpu.train.step import TrainState, make_train_step
+    from leod_tpu.train.step import make_train_step
 
-    B, L, M = 8, cfg.dataset.sequence_length, 6
-    G = cfg.model.head.max_gt
-    h, w = cfg.model.backbone.in_res_hw
-    variables = det.init(jax.random.PRNGKey(0), batch_size=1)
-    optimizer, _ = make_optimizer(cfg.training)
-    state = TrainState(variables=variables,
-                       opt_state=optimizer.init(variables["params"]),
-                       states=det.init_states(B),
-                       step=jnp.zeros((), jnp.int32))
-    rng = np.random.default_rng(0)
-    labels = np.zeros((B, M, G, 7), np.float32)
-    labels[:, :, 0] = [0, 150, 120, 60, 40, 1, 1]
-    labels[:, :, 1] = [1, 40, 30, 24, 20, 1, 1]
-    batch = {
-        "ev": jnp.asarray(rng.integers(0, 50, (L, B, h, w // 4, 80)),
-                          jnp.uint8),
-        "is_first": jnp.zeros((B,), bool),
-        "frame_t": jnp.asarray(
-            np.tile(np.linspace(3, L - 1, M, dtype=np.int32), (B, 1))),
-        "frame_mask": jnp.ones((B, M), bool),
-        "labels": jnp.asarray(labels),
-    }
+    B = 8
+    L = cfg.dataset.sequence_length
+    state, batch, optimizer = build_train_setup(cfg, det, B=B)
     train_step = make_train_step(
         det, optimizer, remat=os.environ.get("BENCH_REMAT", "full"))
 

@@ -233,9 +233,10 @@ class TrainingConfig:
     # <=0 means derive from batch size / sequence length.
     max_det_frames: int = 0
     # TBPTT remat policy for the backbone scan body: "full" recomputes
-    # everything in the backward pass (lowest memory), "dots" saves
-    # matmul/conv outputs and recomputes the rest, "none" stores all
-    # residuals (fastest when HBM allows)
+    # everything in the backward pass (lowest memory; measured fastest
+    # on v5e — docs/benchmarks.md), "dots" saves matmul/conv outputs,
+    # "stage1" recomputes only stage-1 attention (falls back to "full"
+    # when backbone.enable_masking), "none" stores all residuals
     remat: str = "full"
 
 

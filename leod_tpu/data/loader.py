@@ -141,8 +141,11 @@ class RandomTrainLoader:
         self.datasets = [d for d in self.datasets if len(d) > 0]
         self.sizes = np.array([len(d) for d in self.datasets])
         self.cum = np.cumsum(self.sizes)
-        self.probs = (self._sample_weights()
-                      if cfg.weighted_sampling else None)
+        # cumulative distribution: rng.choice(p=probs) rebuilds the cdf
+        # on EVERY draw (O(N) in the loader hot path); cumsum once +
+        # searchsorted per draw instead
+        self.cum_probs = (np.cumsum(self._sample_weights())
+                          if cfg.weighted_sampling else None)
         self.augmentor = SpatialAugmentor(cfg.loading_hw, cfg.augment_random,
                                           self.rng)
 
@@ -168,8 +171,10 @@ class RandomTrainLoader:
 
     def _sample_one(self) -> dict:
         for _ in range(32):
-            if self.probs is not None:
-                gidx = int(self.rng.choice(len(self.probs), p=self.probs))
+            if self.cum_probs is not None:
+                gidx = int(np.searchsorted(self.cum_probs,
+                                           self.rng.random(), side="right"))
+                gidx = min(gidx, len(self.cum_probs) - 1)
             else:
                 gidx = int(self.rng.integers(0, self.cum[-1]))
             di = int(np.searchsorted(self.cum, gidx, side="right"))

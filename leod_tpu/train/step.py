@@ -91,7 +91,11 @@ def _scan_backbone(det: Detector, variables, states0, ev_seq,
                                                states0, y1)
         return final_states, dict(zip(stages, feats_seq))
 
-    if remat == "stage1" and not det.cfg.backbone.enable_masking:
+    if remat == "stage1" and det.cfg.backbone.enable_masking:
+        # the stage1_pre split has no token-mask path; silently storing
+        # ALL residuals would invert the requested memory policy
+        remat = "full"
+    if remat == "stage1":
         # recompute only the stage-1 attention stack in the backward
         # pass; the (much smaller) stage 2-4 residuals are stored
         stage1_pre = functools.partial(jax.checkpoint, prevent_cse=False)(

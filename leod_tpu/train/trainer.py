@@ -228,6 +228,14 @@ class Trainer:
         os.makedirs(self.run_dir, exist_ok=True)
         self.logger = MetricLogger(os.path.join(self.run_dir, "metrics.jsonl"))
         self._ckpt = (ocp.PyTreeCheckpointer() if ocp is not None else None)
+        self._stop_requested = False
+
+    def request_stop(self):
+        """Ask fit() to checkpoint and exit at the next step boundary.
+        Called by the SIGTERM handler fit() installs (preemption-safe
+        shutdown — the reference gets this from SLURM/Lightning,
+        train.py:71-95); safe to call from any thread."""
+        self._stop_requested = True
 
     # -- state -------------------------------------------------------------
     def init_state(self, batch_size: int, seed: int = 0) -> TrainState:
@@ -401,6 +409,16 @@ class Trainer:
                                      cfg.model.use_label_every))
         best_ap = -1.0
         last_ckpt_time = time.time()
+        # preemption-safe shutdown: SIGTERM -> checkpoint at the next
+        # step boundary, then exit cleanly (only installable from the
+        # main thread; elsewhere callers use request_stop directly)
+        import signal
+        prev_handler = None
+        try:
+            prev_handler = signal.signal(
+                signal.SIGTERM, lambda sig, frame: self.request_stop())
+        except ValueError:                          # not the main thread
+            pass
         t0 = time.time()
         frames_seen = 0
         # track the step on the host: int(state.step) would force a device
@@ -446,7 +464,9 @@ class Trainer:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
                 print(f"profile trace -> {self.run_dir}/profile", flush=True)
-            frames_seen += meta["frames"]
+            # local frames x process_count = global frames (every process
+            # feeds an equal slice of the global batch by construction)
+            frames_seen += meta["frames"] * jax.process_count()
             if step % log_every == 0 or step == 1:
                 dt = time.time() - t0
                 rec = {"step": step,
@@ -457,9 +477,32 @@ class Trainer:
                 if meta["dropped_frames"]:
                     rec["dropped_frames"] = meta["dropped_frames"]
                 self.logger.log(rec)
-            if (time.time() - last_ckpt_time) / 60 >= cfg.training.ckpt_every_min:
+            # time-triggered checkpoint (reference: 18-min timer) and
+            # preemption stop. Both decisions must be RANK-CONSISTENT:
+            # orbax save runs a global barrier, so one rank saving (or
+            # leaving the loop) while another proceeds into the next
+            # step's collectives deadlocks the pod. Evaluate on a fixed
+            # step cadence; rank 0's clock binds everyone, any rank's
+            # stop request stops everyone.
+            ckpt_due = ((time.time() - last_ckpt_time) / 60
+                        >= cfg.training.ckpt_every_min)
+            stop = self._stop_requested
+            if jax.process_count() > 1:
+                if step % 25 == 0:
+                    from jax.experimental import multihost_utils
+                    flags = multihost_utils.process_allgather(
+                        np.asarray([ckpt_due, stop]))
+                    ckpt_due = bool(flags[0, 0])
+                    stop = bool(flags[:, 1].any())
+                else:
+                    ckpt_due = stop = False
+            if ckpt_due or stop:
                 self.save_checkpoint(state, "last")
                 last_ckpt_time = time.time()
+            if stop:
+                print(f"stop requested (preemption): checkpointed at "
+                      f"step {step}, exiting fit()", flush=True)
+                break
             if (cfg.training.val_check_interval and step %
                     cfg.training.val_check_interval == 0):
                 m = run_streaming_eval(self.det, state.variables, cfg,
@@ -471,4 +514,7 @@ class Trainer:
                         best_ap = m["AP"]
                         self.save_checkpoint(state, "best")
         self.save_checkpoint(state, "last")
+        if prev_handler is not None:
+            import signal
+            signal.signal(signal.SIGTERM, prev_handler)
         return state

@@ -209,14 +209,20 @@ def test_weighted_random_sampler(tmp_path):
     cfg = dataclasses.replace(_cfg(root, L=5), weighted_sampling=True)
     seqs = open_split_sequences(cfg, "train")
     loader = RandomTrainLoader(seqs, cfg, batch_size=2, seed=0)
-    probs = loader.probs
-    np.testing.assert_allclose(probs.sum(), 1.0)
+    probs = np.diff(loader.cum_probs, prepend=0.0)
+    np.testing.assert_allclose(loader.cum_probs[-1], 1.0)
     # class 1 appears in exactly one window -> that sample's weight
     # includes the whole 1/count_1 mass and must dominate
     assert probs.max() > 2 * np.median(probs)
-    # and uniform mode has no probs
+    # weighted draws hit the heavy sample more often than uniform would
+    heavy = int(np.argmax(probs))
+    hits = sum(int(np.searchsorted(loader.cum_probs, loader.rng.random(),
+                                   side="right")) == heavy
+               for _ in range(500))
+    assert hits / 500 > probs[heavy] / 2
+    # and uniform mode has no distribution
     cfg_u = _cfg(root, L=5)
-    assert RandomTrainLoader(seqs, cfg_u, 2, seed=0).probs is None
+    assert RandomTrainLoader(seqs, cfg_u, 2, seed=0).cum_probs is None
 
 
 def test_prefetcher_propagates_errors():

@@ -120,3 +120,21 @@ def test_remat_policies_equivalent():
     ref = results["full"]
     for k, v in results.items():
         np.testing.assert_allclose(v, ref, rtol=1e-5, err_msg=k)
+
+
+def test_preemption_stop_checkpoints_and_exits(exp_cfg, tmp_path):
+    """request_stop() (wired to SIGTERM inside fit) checkpoints at the
+    next step boundary and exits instead of running to max_steps."""
+    import dataclasses as _dc
+
+    cfg = _dc.replace(exp_cfg, save_dir=str(tmp_path), exp_name="preempt")
+    trainer = Trainer(cfg, dtype=jnp.float32)
+    trainer.request_stop()
+    state = trainer.fit(max_steps=50)
+    assert int(state.step) <= 1                 # stopped immediately
+    assert os.path.isdir(os.path.join(trainer.run_dir, "ckpt_last"))
+    # the saved checkpoint restores
+    st = trainer.init_state(cfg.training.batch_size_train)
+    st = trainer.restore_checkpoint(
+        os.path.join(trainer.run_dir, "ckpt_last"), st)
+    assert int(st.step) == int(state.step)

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 
 def capture(out_dir: str):
+    import bench
     from leod_tpu.config import experiment_preset
     from leod_tpu.models.detector import Detector
 
@@ -35,19 +36,7 @@ def capture(out_dir: str):
     cfg = experiment_preset("gen1", "base")
     det = Detector(cfg.model, dtype=jnp.bfloat16)
     variables = det.init(jax.random.PRNGKey(0), batch_size=1)
-    h, w = cfg.model.backbone.in_res_hw
-
-    def infer(variables, ev, states, bump):
-        # bump post-cast so it fuses elementwise (see bench.py)
-        def body(carry, x_t):
-            _, ns = det.forward_backbone(
-                variables, x_t.astype(det.dtype) + bump, carry)
-            return ns, None
-        states, _ = jax.lax.scan(body, states, ev[:-1])
-        feats, states = det.forward_backbone(
-            variables, ev[-1].astype(det.dtype) + bump, states)
-        preds, _ = det.forward_detect(variables, feats, train=False)
-        return preds, states
+    infer = bench.build_infer(det)    # the exact benched program
 
     def run_iters(variables, ev, states):
         def body(carry, _):
@@ -58,8 +47,7 @@ def capture(out_dir: str):
         return outs, states
 
     run_iters = jax.jit(run_iters)
-    ev = (jax.random.uniform(jax.random.PRNGKey(1), (L, B, h, w // 4, 80))
-          * 32).astype(jnp.uint8)
+    ev = bench.make_ev(cfg, B, L)
     states = det.init_states(B)
     outs, _ = run_iters(variables, ev, states)       # compile
     outs.block_until_ready()

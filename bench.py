@@ -105,7 +105,8 @@ def main():
 
     dataset = os.environ.get("BENCH_DATASET", "gen1")
     cfg = experiment_preset(dataset, os.environ.get("BENCH_SIZE", "base"))
-    det = Detector(cfg.model, dtype=jnp.bfloat16)
+    det = Detector(cfg.model, dtype=jnp.bfloat16,
+                   fused_inference=os.environ.get("BENCH_FUSED", "0") == "1")
     variables = det.init(jax.random.PRNGKey(0), batch_size=1)
 
     # gen4 defaults mirror the reference workload (bs 8, L=5,

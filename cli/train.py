@@ -95,6 +95,14 @@ def main():
         tr = dataclasses.replace(tr, val_check_interval=args.val_every)
     if args.max_det_frames:
         tr = dataclasses.replace(tr, max_det_frames=args.max_det_frames)
+    elif args.soft and cfg.model.use_label_every <= 1:
+        # self-training students run on DENSE pseudo datasets: the
+        # reference supervises every frame (ragged BackboneFeatureSelector,
+        # modules/detection.py:184-234, use_label_every=1 in every soft
+        # config), so the static harvest budget must cover the whole
+        # window or labeled frames are silently dropped
+        tr = dataclasses.replace(tr,
+                                 max_det_frames=dst.sequence_length)
     cfg = derive(dataclasses.replace(cfg, dataset=dst, training=tr,
                                      save_dir=args.save_dir,
                                      exp_name=args.exp_name))

@@ -64,9 +64,11 @@ def make_ev(cfg, B, L, seed: int = 1):
             * 32).astype(jnp.uint8)
 
 
-def build_train_setup(cfg, det, B: int = 8, M: int = 6):
+def build_train_setup(cfg, det, B: int = 8, M: int = 6, variables=None):
     """(state, batch, optimizer) for the Gen1 train recipe on synthetic
-    data — shared by the throughput and MFU tools."""
+    data — shared by the throughput and MFU tools. Pass already-init
+    `variables` to avoid a redundant jitted init (each one is an extra
+    compile+run through the remote-TPU tunnel)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -76,7 +78,8 @@ def build_train_setup(cfg, det, B: int = 8, M: int = 6):
 
     L = cfg.dataset.sequence_length
     G = cfg.model.head.max_gt
-    variables = det.init(jax.random.PRNGKey(0), batch_size=1)
+    if variables is None:
+        variables = det.init(jax.random.PRNGKey(0), batch_size=1)
     optimizer, _ = make_optimizer(cfg.training)
     state = TrainState(variables=variables,
                        opt_state=optimizer.init(variables["params"]),
@@ -157,19 +160,20 @@ def main():
         record["vs_baseline"] = round(frames_per_s / BASELINE_FRAMES_PER_S, 4)
     if os.environ.get("BENCH_LATENCY", "1") != "0":
         try:
-            record["b1_latency_ms"] = round(_b1_latency(cfg, det), 3)
+            record["b1_latency_ms"] = round(
+                _b1_latency(cfg, det, variables), 3)
         except Exception as e:                      # pragma: no cover
             record["latency_error"] = f"{type(e).__name__}: {e}"
     if os.environ.get("BENCH_TRAIN", "1") != "0":
         try:
             record["train_frames_per_s"] = round(
-                _train_throughput(cfg, det), 2)
+                _train_throughput(cfg, det, variables), 2)
         except Exception as e:                      # pragma: no cover
             record["train_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(record))
 
 
-def _b1_latency(cfg, det, iters: int = 100):
+def _b1_latency(cfg, det, variables=None, iters: int = 100):
     """Per-frame detect latency at batch 1 (BASELINE.md north star:
     p50 per-frame detect latency). One frame = backbone step + FPN +
     head + decode with carried LSTM state — the real-time streaming
@@ -194,7 +198,8 @@ def _b1_latency(cfg, det, iters: int = 100):
         states, outs = jax.lax.scan(body, states, None, length=iters)
         return outs, states
 
-    variables = det.init(jax.random.PRNGKey(0), batch_size=1)
+    if variables is None:
+        variables = det.init(jax.random.PRNGKey(0), batch_size=1)
     run = jax.jit(run, donate_argnums=(2,))
     x = make_ev(cfg, 1, 1)[0]
     states = det.init_states(1)
@@ -206,7 +211,7 @@ def _b1_latency(cfg, det, iters: int = 100):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
-def _train_throughput(cfg, det, iters: int = 4):
+def _train_throughput(cfg, det, variables=None, iters: int = 4):
     """On-device train-step throughput at the Gen1 recipe (bs 8, L=21,
     AdamW + remat scan) so backward/scan-path perf regressions are
     visible round over round (BENCH_TRAIN=0 skips)."""
@@ -216,7 +221,8 @@ def _train_throughput(cfg, det, iters: int = 4):
 
     B = 8
     L = cfg.dataset.sequence_length
-    state, batch, optimizer = build_train_setup(cfg, det, B=B)
+    state, batch, optimizer = build_train_setup(cfg, det, B=B,
+                                                variables=variables)
     train_step = make_train_step(
         det, optimizer, remat=os.environ.get("BENCH_REMAT", "full"))
 

@@ -93,7 +93,7 @@ def main():
             tr.lr_scheduler, pct_start=args.warmup_pct))
     if args.val_every is not None:
         tr = dataclasses.replace(tr, val_check_interval=args.val_every)
-    if args.max_det_frames:
+    if args.max_det_frames is not None:
         tr = dataclasses.replace(tr, max_det_frames=args.max_det_frames)
     elif args.soft and cfg.model.use_label_every <= 1:
         # self-training students run on DENSE pseudo datasets: the

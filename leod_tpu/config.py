@@ -238,6 +238,11 @@ class TrainingConfig:
     # "stage1" recomputes only stage-1 attention (falls back to "full"
     # when backbone.enable_masking), "none" stores all residuals
     remat: str = "full"
+    # multi-host: step cadence for the rank-consistent checkpoint-timer
+    # and preemption-stop agreement (one tiny all-gather per check).
+    # Size it so cadence x step time stays well inside the preemption
+    # grace period; single-process runs react every step regardless.
+    multihost_sync_every: int = 25
 
 
 def stem_width_fold(model: "ModelConfig") -> int:

@@ -77,6 +77,12 @@ def _scan_backbone(det: Detector, variables, states0, ev_seq,
     """
     stages = det.cfg.fpn.in_stages
 
+    if remat == "stage1" and (det.cfg.backbone.enable_masking
+                              or prebatch_stage1):
+        # neither variant has a stage-1 checkpoint boundary; silently
+        # storing ALL residuals would invert the requested memory policy
+        remat = "full"
+
     if prebatch_stage1 and not det.cfg.backbone.enable_masking:
         L, B = ev_seq.shape[:2]
         flat = ev_seq.reshape((L * B,) + ev_seq.shape[2:])
@@ -91,10 +97,6 @@ def _scan_backbone(det: Detector, variables, states0, ev_seq,
                                                states0, y1)
         return final_states, dict(zip(stages, feats_seq))
 
-    if remat == "stage1" and det.cfg.backbone.enable_masking:
-        # the stage1_pre split has no token-mask path; silently storing
-        # ALL residuals would invert the requested memory policy
-        remat = "full"
     if remat == "stage1":
         # recompute only the stage-1 attention stack in the backward
         # pass; the (much smaller) stage 2-4 residuals are stored

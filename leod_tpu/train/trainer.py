@@ -450,71 +450,86 @@ class Trainer:
                     meta["viz"] = self._viz_payload(hb)
                 yield dev, meta
 
-        for dev, meta in Prefetcher(device_batches(), depth=3):
-            if step >= total:
-                break
-            if profile_steps and step == 5:
-                jax.profiler.start_trace(os.path.join(self.run_dir, "profile"))
-            state, metrics = train_step(state, dev)
-            step += 1          # steps completed (host-tracked; no sync)
-            preds = metrics.pop("preds", None)
-            if meta.get("viz") is not None and preds is not None:
-                self._write_viz_panel(step, meta["viz"], preds)
-            if profile_steps and step == 5 + profile_steps:
-                jax.block_until_ready(metrics["loss"])
-                jax.profiler.stop_trace()
-                print(f"profile trace -> {self.run_dir}/profile", flush=True)
-            # local frames x process_count = global frames (every process
-            # feeds an equal slice of the global batch by construction)
-            frames_seen += meta["frames"] * jax.process_count()
-            if step % log_every == 0 or step == 1:
-                dt = time.time() - t0
-                rec = {"step": step,
-                       "lr": float(self.schedule(step - 1)) if callable(
-                           self.schedule) else self.schedule,
-                       "frames_per_s": frames_seen / max(dt, 1e-6),
-                       **{k: float(v) for k, v in metrics.items()}}
-                if meta["dropped_frames"]:
-                    rec["dropped_frames"] = meta["dropped_frames"]
-                self.logger.log(rec)
-            # time-triggered checkpoint (reference: 18-min timer) and
-            # preemption stop. Both decisions must be RANK-CONSISTENT:
-            # orbax save runs a global barrier, so one rank saving (or
-            # leaving the loop) while another proceeds into the next
-            # step's collectives deadlocks the pod. Evaluate on a fixed
-            # step cadence; rank 0's clock binds everyone, any rank's
-            # stop request stops everyone.
-            ckpt_due = ((time.time() - last_ckpt_time) / 60
-                        >= cfg.training.ckpt_every_min)
-            stop = self._stop_requested
-            if jax.process_count() > 1:
-                if step % 25 == 0:
-                    from jax.experimental import multihost_utils
-                    flags = multihost_utils.process_allgather(
-                        np.asarray([ckpt_due, stop]))
-                    ckpt_due = bool(flags[0, 0])
-                    stop = bool(flags[:, 1].any())
-                else:
-                    ckpt_due = stop = False
-            if ckpt_due or stop:
+        stopped = False
+        try:
+            for dev, meta in Prefetcher(device_batches(), depth=3):
+                if step >= total:
+                    break
+                if profile_steps and step == 5:
+                    jax.profiler.start_trace(
+                        os.path.join(self.run_dir, "profile"))
+                state, metrics = train_step(state, dev)
+                step += 1      # steps completed (host-tracked; no sync)
+                preds = metrics.pop("preds", None)
+                if meta.get("viz") is not None and preds is not None:
+                    self._write_viz_panel(step, meta["viz"], preds)
+                if profile_steps and step == 5 + profile_steps:
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
+                    print(f"profile trace -> {self.run_dir}/profile",
+                          flush=True)
+                # local frames x process_count = global frames (every
+                # process feeds an equal slice of the global batch)
+                frames_seen += meta["frames"] * jax.process_count()
+                if step % log_every == 0 or step == 1:
+                    dt = time.time() - t0
+                    rec = {"step": step,
+                           "lr": float(self.schedule(step - 1)) if callable(
+                               self.schedule) else self.schedule,
+                           "frames_per_s": frames_seen / max(dt, 1e-6),
+                           **{k: float(v) for k, v in metrics.items()}}
+                    if meta["dropped_frames"]:
+                        rec["dropped_frames"] = meta["dropped_frames"]
+                    self.logger.log(rec)
+                # time-triggered checkpoint (reference: 18-min timer) and
+                # preemption stop. Both decisions must be RANK-CONSISTENT:
+                # orbax save runs a global barrier, so one rank saving
+                # (or leaving the loop) while another proceeds into the
+                # next step's collectives deadlocks the pod. Multi-host
+                # evaluates on a step cadence (multihost_sync_every —
+                # size it so cadence x step time stays well inside the
+                # preemption grace period); rank 0's clock binds
+                # everyone, any rank's stop request stops everyone.
+                ckpt_due = ((time.time() - last_ckpt_time) / 60
+                            >= cfg.training.ckpt_every_min)
+                stop = self._stop_requested
+                if jax.process_count() > 1:
+                    if step % cfg.training.multihost_sync_every == 0:
+                        from jax.experimental import multihost_utils
+                        flags = multihost_utils.process_allgather(
+                            np.asarray([ckpt_due, stop]))
+                        ckpt_due = bool(flags[0, 0])
+                        stop = bool(flags[:, 1].any())
+                    else:
+                        ckpt_due = stop = False
+                if ckpt_due or stop:
+                    self.save_checkpoint(state, "last")
+                    last_ckpt_time = time.time()
+                if stop:
+                    print(f"stop requested (preemption): checkpointed at "
+                          f"step {step}, exiting fit()", flush=True)
+                    stopped = True
+                    break
+                if (cfg.training.val_check_interval and step %
+                        cfg.training.val_check_interval == 0):
+                    m = run_streaming_eval(self.det, state.variables, cfg,
+                                           split=eval_split, mesh=self.mesh)
+                    if m:
+                        self.logger.log(
+                            {"step": step,
+                             **{f"val/{k}": v for k, v in m.items()}})
+                        if m["AP"] > best_ap:
+                            best_ap = m["AP"]
+                            self.save_checkpoint(state, "best")
+            # the stop path already wrote ckpt_last — don't rewrite it
+            # during the scarce preemption grace window
+            if not stopped:
                 self.save_checkpoint(state, "last")
-                last_ckpt_time = time.time()
-            if stop:
-                print(f"stop requested (preemption): checkpointed at "
-                      f"step {step}, exiting fit()", flush=True)
-                break
-            if (cfg.training.val_check_interval and step %
-                    cfg.training.val_check_interval == 0):
-                m = run_streaming_eval(self.det, state.variables, cfg,
-                                       split=eval_split, mesh=self.mesh)
-                if m:
-                    self.logger.log({"step": step,
-                                     **{f"val/{k}": v for k, v in m.items()}})
-                    if m["AP"] > best_ap:
-                        best_ap = m["AP"]
-                        self.save_checkpoint(state, "best")
-        self.save_checkpoint(state, "last")
-        if prev_handler is not None:
-            import signal
-            signal.signal(signal.SIGTERM, prev_handler)
+        finally:
+            # always restore the handler and consume the stop request:
+            # a stale flag or a leaked swallowing handler would make the
+            # NEXT fit() exit immediately / ignore real SIGTERMs
+            self._stop_requested = False
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
         return state

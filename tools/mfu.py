@@ -66,7 +66,8 @@ def main():
 
     # train step at the Gen1 recipe
     remat = os.environ.get("BENCH_REMAT", "full")
-    state, batch, optimizer = bench.build_train_setup(cfg, det, B=8)
+    state, batch, optimizer = bench.build_train_setup(cfg, det, B=8,
+                                                      variables=variables)
     step_fn = make_train_step(det, optimizer, remat=remat)
     compiled = jax.jit(step_fn).lower(state, batch).compile()
     _report(f"train step (bs=8, L={L}, remat={remat})", compiled,

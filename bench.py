@@ -23,27 +23,34 @@ BASELINE_FRAMES_PER_S = 2000.0
 
 def build_infer(det):
     """infer(variables, ev, states, bump) — one L-frame streaming
-    window: backbone scan + detect on the final frame (the eval cadence
-    on Gen1 is ~1 labeled frame per window).
+    window: backbone scan over ALL L steps + detect on the final frame
+    (the eval cadence on Gen1 is ~1 labeled frame per window). FPN-stage
+    features ride the scan carry, exactly like the eval path's gather —
+    slicing `ev[:-1]` for a separate last step costs a full-window u8
+    copy (~4.5% measured, tools/trace_agg.py).
 
     `bump` (scalar, derived from a timing-loop carry; pass 0 outside
     on-device loops) is added to the model input AFTER the uint8->bf16
     cast so it fuses into the stem's elementwise input processing —
     bumping the uint8 window itself materializes a full-window copy +
-    slice every iteration (~5% measured harness overhead,
-    tools/trace_agg.py)."""
+    slice every iteration (~5% measured harness overhead)."""
     import jax
+    import jax.numpy as jnp
 
     def infer(variables, ev, states, bump):
         fused = det.fused_inference
 
         def body(carry, x_t):
+            states, _ = carry
             feats, ns = det.forward_backbone(
-                variables, x_t.astype(det.dtype) + bump, carry, fused=fused)
-            return ns, None
-        states, _ = jax.lax.scan(body, states, ev[:-1])
-        feats, states = det.forward_backbone(
-            variables, ev[-1].astype(det.dtype) + bump, states, fused=fused)
+                variables, x_t.astype(det.dtype) + bump, states, fused=fused)
+            return (ns, feats), None
+
+        feats0 = jax.eval_shape(
+            lambda v, x, s: det.forward_backbone(v, x, s)[0],
+            variables, ev[0].astype(det.dtype), states)
+        feats0 = jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), feats0)
+        (states, feats), _ = jax.lax.scan(body, (states, feats0), ev)
         preds, _ = det.forward_detect(variables, feats, train=False)
         return preds, states
     return infer

@@ -106,34 +106,20 @@ def build_train_setup(cfg, det, B: int = 8, M: int = 6, variables=None):
     return state, batch, optimizer
 
 
-def main():
+def _throughput(cfg, det, variables, B: int, L: int, iters: int) -> float:
+    """Streaming-inference frames/s: on-device repeat loop of the
+    L-window infer program (host dispatch latency through the remote-TPU
+    tunnel stays out of the measurement).
+
+    The model input is perturbed by the carried state so none of the
+    per-frame network work is loop-invariant — otherwise XLA hoists the
+    carry-independent stage-1 work out of the loop and inflates the
+    number."""
     import jax
-    import jax.numpy as jnp
 
-    from leod_tpu.config import experiment_preset
-    from leod_tpu.models.detector import Detector
-
-    dataset = os.environ.get("BENCH_DATASET", "gen1")
-    cfg = experiment_preset(dataset, os.environ.get("BENCH_SIZE", "base"))
-    det = Detector(cfg.model, dtype=jnp.bfloat16,
-                   fused_inference=os.environ.get("BENCH_FUSED", "0") == "1")
-    variables = det.init(jax.random.PRNGKey(0), batch_size=1)
-
-    # gen4 defaults mirror the reference workload (bs 8, L=5,
-    # docs/benchmark.md:16); gen1 is the headline config
-    B = int(os.environ.get("BENCH_BATCH", "16" if dataset == "gen1" else "8"))
-    L = int(os.environ.get("BENCH_SEQ_LEN", "21" if dataset == "gen1" else "5"))
     infer = build_infer(det)
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
 
     def run_iters(variables, ev, states):
-        """Whole timing loop on device: removes host dispatch latency
-        (significant through a remote-TPU tunnel) from the measurement.
-
-        The model input is perturbed by the carried state so none of the
-        per-frame network work is loop-invariant — otherwise XLA hoists
-        the carry-independent stage-1 work out of the loop and inflates
-        the number."""
         def body(carry, _):
             # cheap data dependency: one element of the carried LSTM state
             bump = (carry[0][0][0, 0, 0, 0] > 0).astype(det.dtype)
@@ -154,41 +140,140 @@ def main():
     outs, states = run_iters(variables, ev, states)
     outs.block_until_ready()
     dt = time.perf_counter() - t0
+    return iters * B * L / dt
 
-    frames_per_s = iters * B * L / dt
+
+def _bench_dataset(dataset: str, iters: int, latency: bool,
+                   train: bool) -> dict:
+    """All per-dataset numbers: throughput (+ optional b1 latency
+    mean/p50/p99 and train-step throughput)."""
+    import jax
+    import jax.numpy as jnp
+
+    from leod_tpu.config import experiment_preset
+    from leod_tpu.models.detector import Detector
+
+    cfg = experiment_preset(dataset, os.environ.get("BENCH_SIZE", "base"))
+    det = Detector(cfg.model, dtype=jnp.bfloat16,
+                   fused_inference=os.environ.get("BENCH_FUSED", "0") == "1")
+    variables = det.init(jax.random.PRNGKey(0), batch_size=1)
+
+    # gen4 defaults mirror the reference workload (bs 8, L=5, reference
+    # docs/benchmark.md:16); gen1 (bs 16, L=21) is the headline config
+    B = int(os.environ.get("BENCH_BATCH", "16" if dataset == "gen1" else "8"))
+    L = int(os.environ.get("BENCH_SEQ_LEN", "21" if dataset == "gen1" else "5"))
+    out = {"frames_per_s": round(
+        _throughput(cfg, det, variables, B, L, iters), 2)}
+    if latency:
+        try:
+            mean_ms, p50_ms, p99_ms = _b1_latency(cfg, det, variables)
+            out["b1_latency_ms"] = round(mean_ms, 3)
+            if p50_ms is not None:
+                out["b1_latency_p50_ms"] = round(p50_ms, 3)
+                out["b1_latency_p99_ms"] = round(p99_ms, 3)
+        except Exception as e:                      # pragma: no cover
+            out["latency_error"] = f"{type(e).__name__}: {e}"
+    if train:
+        try:
+            out["train_frames_per_s"] = round(
+                _train_throughput(cfg, det, variables), 2)
+        except Exception as e:                      # pragma: no cover
+            out["train_error"] = f"{type(e).__name__}: {e}"
+    return out
+
+
+def main():
+    dataset = os.environ.get("BENCH_DATASET", "gen1")
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    latency = os.environ.get("BENCH_LATENCY", "1") != "0"
+    train = os.environ.get("BENCH_TRAIN", "1") != "0"
+
+    res = _bench_dataset(dataset, iters, latency, train)
+    frames_per_s = res.pop("frames_per_s")
     record = {
         "metric": f"rvt_b_{dataset}_inference_throughput",
-        "value": round(frames_per_s, 2),
+        "value": frames_per_s,
         "unit": "event_frames_per_s_per_chip",
     }
     if dataset == "gen1":
         # the 2,000 frames/s north star is Gen1-specific (BASELINE.md);
         # a ratio against it would mislead for other presets
         record["vs_baseline"] = round(frames_per_s / BASELINE_FRAMES_PER_S, 4)
-    if os.environ.get("BENCH_LATENCY", "1") != "0":
+    record.update(res)
+    if dataset == "gen1" and os.environ.get("BENCH_GEN4", "1") != "0":
+        # 1Mpx numbers ride along in the same artifact so gen4
+        # regressions are driver-visible round over round
         try:
-            record["b1_latency_ms"] = round(
-                _b1_latency(cfg, det, variables), 3)
+            g4 = _bench_dataset("gen4", iters, latency, train)
+            record.update({f"gen4_{k}": v for k, v in g4.items()})
         except Exception as e:                      # pragma: no cover
-            record["latency_error"] = f"{type(e).__name__}: {e}"
-    if os.environ.get("BENCH_TRAIN", "1") != "0":
-        try:
-            record["train_frames_per_s"] = round(
-                _train_throughput(cfg, det, variables), 2)
-        except Exception as e:                      # pragma: no cover
-            record["train_error"] = f"{type(e).__name__}: {e}"
+            record["gen4_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(record))
 
 
+def _trace_step_percentiles(out_dir: str, iters: int):
+    """(p50_ms, p99_ms) per-iteration durations of an on-device repeat
+    loop, recovered from a jax.profiler device trace: pick the device-lane
+    op that recurs once per iteration with the largest total time and
+    diff its start timestamps (iterations serialize through the carried
+    state, so consecutive starts bound each step). Returns (None, None)
+    if no per-iteration marker op is found."""
+    import glob
+    import gzip
+
+    import numpy as np
+
+    paths = glob.glob(os.path.join(
+        out_dir, "plugins", "profile", "*", "*.trace.json.gz"))
+    if not paths:
+        return None, None
+    with gzip.open(max(paths, key=os.path.getmtime), "rt") as f:
+        trace = json.load(f)
+    events = trace["traceEvents"]
+    pid_names = {e["pid"]: e["args"].get("name", "")
+                 for e in events if e.get("ph") == "M"
+                 and e.get("name") == "process_name"}
+    dev_pids = {pid for pid, n in pid_names.items()
+                if "TPU" in n or "/device" in n.lower() or "XLA Op" in n}
+    starts: dict = {}
+    durs: dict = {}
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        name = e.get("name", "?")
+        if name.startswith("jit_") or name.lstrip("%").startswith("while"):
+            continue
+        starts.setdefault(name, []).append(e.get("ts", 0))
+        durs[name] = durs.get(name, 0.0) + e.get("dur", 0)
+    best, stride = None, 1
+    for name, ts in starts.items():
+        # an op may run k>=1 times per iteration; take every k-th start
+        k, r = divmod(len(ts), iters)
+        if r == 0 and 1 <= k <= 8:
+            if best is None or durs[name] > durs[best]:
+                best, stride = name, k
+    if best is None:
+        return None, None
+    ts = np.sort(np.asarray(starts[best], np.float64))[::stride]
+    d = np.diff(ts) / 1e3                              # us -> ms
+    if len(d) < 8:
+        return None, None
+    return float(np.percentile(d, 50)), float(np.percentile(d, 99))
+
+
 def _b1_latency(cfg, det, variables=None, iters: int = 100):
-    """Per-frame detect latency at batch 1 (BASELINE.md north star:
-    p50 per-frame detect latency). One frame = backbone step + FPN +
-    head + decode with carried LSTM state — the real-time streaming
-    cadence. Measured as the mean of an on-device loop (per-call host
-    timing through the remote-TPU tunnel would measure the tunnel);
-    the loop is state-carried so iterations serialize."""
+    """Per-frame detect latency at batch 1. One frame = backbone step +
+    FPN + head + decode with carried LSTM state — the real-time streaming
+    cadence. Returns (mean_ms, p50_ms, p99_ms): the mean comes from
+    host-timing an on-device loop (per-call host timing through the
+    remote-TPU tunnel would measure the tunnel); the p50/p99 the
+    BASELINE.md north star names come from per-iteration timestamps in a
+    jax.profiler device trace of the same loop (None if trace capture
+    is unavailable). The loop is state-carried so iterations serialize."""
+    import shutil
+    import tempfile
+
     import jax
-    import jax.numpy as jnp
 
     def one_frame(variables, x, states, bump):
         feats, states = det.forward_backbone(
@@ -215,7 +300,19 @@ def _b1_latency(cfg, det, variables=None, iters: int = 100):
     t0 = time.perf_counter()
     outs, states = run(variables, x, states)
     outs.block_until_ready()
-    return (time.perf_counter() - t0) / iters * 1e3
+    mean_ms = (time.perf_counter() - t0) / iters * 1e3
+    p50 = p99 = None
+    tmp = tempfile.mkdtemp(prefix="leod_b1_trace_")
+    try:
+        with jax.profiler.trace(tmp):
+            outs, states = run(variables, x, states)
+            outs.block_until_ready()
+        p50, p99 = _trace_step_percentiles(tmp, iters)
+    except Exception:                                  # pragma: no cover
+        pass                     # trace capture unsupported: mean only
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return mean_ms, p50, p99
 
 
 def _train_throughput(cfg, det, variables=None, iters: int = 4):

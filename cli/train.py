@@ -109,12 +109,20 @@ def main():
 
     trainer = Trainer(cfg, dtype=jnp.float32 if args.fp32 else jnp.bfloat16)
     state = None
-    if args.auto_resume and not args.checkpoint:
-        latest = trainer.latest_checkpoint()
+    if (args.auto_resume and not args.checkpoint
+            and trainer.latest_checkpoint()):
+        # restore_latest try-restores newest -> oldest so a checkpoint
+        # with corrupted PAYLOAD (not just unreadable metadata) also
+        # falls back (reference: train.py:85-92)
+        state, latest = trainer.restore_latest(
+            trainer.init_state(tr.batch_size_train, args.seed))
         if latest:
-            print(f"auto-resuming from {latest}")
-            args.checkpoint = latest
-    if args.checkpoint:
+            print(f"auto-resumed from {latest}")
+        else:
+            state = None
+    if state is not None:
+        pass
+    elif args.checkpoint:
         state = trainer.restore_checkpoint(
             args.checkpoint, trainer.init_state(tr.batch_size_train, args.seed))
     elif args.weight:

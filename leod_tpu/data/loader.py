@@ -340,8 +340,10 @@ def harvest_frames(batch: dict, frames_per_slot: int, max_gt: int,
     (reference: labels.py:716-729).
 
     `fold_w` > 1 emits ev pre-folded [L, B, H, W/f, f*C] for the S2D
-    stem (config.stem_width_fold): the fold is free here but costs a
-    per-step layout copy on device (docs/benchmarks.md).
+    stem (config.stem_width_fold): the host-side copy folds into the
+    existing transpose/pad materialization (no extra device cost),
+    whereas folding on device costs a per-step layout copy
+    (docs/benchmarks.md).
     """
     ev = batch["ev"]                                    # [L, B, C, H, W]
     L, B = ev.shape[:2]
@@ -360,6 +362,7 @@ def harvest_frames(batch: dict, frames_per_slot: int, max_gt: int,
     mask = np.zeros((B, M), bool)
     boxes: List[List[Optional[Boxes]]] = [[None] * M for _ in range(B)]
     counts = np.zeros(B, np.int32)
+    demand = np.zeros(B, np.int32)   # labeled frames per slot, uncapped
     dropped = 0
     for t in range(L):
         keep_t = (use_label_every <= 1) or (t % use_label_every == 0)
@@ -371,6 +374,7 @@ def harvest_frames(batch: dict, frames_per_slot: int, max_gt: int,
                 continue
             if ignore_image and bool(np.all(lab.is_ignore(ignore_label))):
                 continue
+            demand[b] += 1
             n = counts[b]
             if n >= M:
                 dropped += 1
@@ -384,6 +388,11 @@ def harvest_frames(batch: dict, frames_per_slot: int, max_gt: int,
         "frame_t": t_idx, "frame_mask": mask,
         "labels": labels, "num_frames": int(counts.sum()),
         "dropped_frames": dropped,
+        # the budget this batch actually needed — eval paths auto-regrow
+        # to this when dropped_frames > 0 (dropping eval frames would
+        # silently bias mAP; reference harvesting is ragged and can never
+        # drop, modules/utils/detection.py:27-58)
+        "max_slot_frames": int(demand.max()) if B else 0,
         "boxes": boxes,     # host-side Boxes for eval bridging (row-major)
     }
 

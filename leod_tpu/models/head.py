@@ -126,7 +126,14 @@ def _bbox_loss_weights(cfg: HeadConfig, labels: jnp.ndarray,
 def _top_bg_ignore_mask(cfg: HeadConfig, obj_logits: jnp.ndarray,
                         fg: jnp.ndarray) -> jnp.ndarray:
     """Exclude the top-k%-scoring background anchors from the objectness
-    loss (reference: yolo_head.py:334-356). Per-frame, static shapes."""
+    loss (reference: yolo_head.py:334-356, applied at :539-541,565-568).
+    Per-frame, static shapes; parity-tested vs the reference
+    (tests/test_loss_parity.py). Known intended divergence: the
+    reference's ignore-region path (get_losses_w_ignore) never calls
+    _get_highest_score_mask, so ignore_bg_k silently turns off for any
+    batch containing an ignore box — an accident of the duplicated loss
+    body (both knobs are off in every reference config). We apply it
+    uniformly."""
     if cfg.ignore_bg_k <= 0:
         return jnp.zeros(fg.shape, bool)
     bg = ~fg

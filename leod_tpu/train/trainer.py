@@ -173,12 +173,20 @@ def run_streaming_eval(det: Detector, variables, cfg: ExperimentConfig,
     for bi, batch in enumerate(Prefetcher(iter(loader))):
         if max_batches is not None and bi >= max_batches:
             break
-        hb = harvest_frames(batch, M, cfg.model.head.max_gt,
-                            cfg.model.backbone.in_res_hw,
-                            fold_w=stem_width_fold(cfg.model))
-        if hb["dropped_frames"]:
-            print(f"WARNING: eval dropped {hb['dropped_frames']} labeled "
-                  f"frames (budget {M}/slot too small)", flush=True)
+        while True:
+            hb = harvest_frames(batch, M, cfg.model.head.max_gt,
+                                cfg.model.backbone.in_res_hw,
+                                fold_w=stem_width_fold(cfg.model))
+            if not hb["dropped_frames"]:
+                break
+            # dropped eval frames would silently bias mAP (the reference
+            # harvests ragged and can never drop, modules/utils/
+            # detection.py:27-58): auto-regrow the static budget to this
+            # batch's demand and re-harvest. M only grows, so this
+            # recompiles eval_step at most a few times per run.
+            M = int(hb["max_slot_frames"])
+            print(f"eval harvest budget grown to {M}/slot (recompiling "
+                  f"eval step)", flush=True)
         dev = {k: hb[k] for k in ("ev", "is_first", "frame_t", "frame_mask",
                                   "labels")}
         if mesh is not None:
@@ -229,6 +237,9 @@ class Trainer:
         self.logger = MetricLogger(os.path.join(self.run_dir, "metrics.jsonl"))
         self._ckpt = (ocp.PyTreeCheckpointer() if ocp is not None else None)
         self._stop_requested = False
+        # top-2 best-AP retention (reference: callbacks/custom.py:9-29,
+        # save_top_k=2): ckpt_best = argmax val/AP, ckpt_best2 = runner-up
+        self._best_aps = [-1.0, -1.0]
 
     def request_stop(self):
         """Ask fit() to checkpoint and exit at the next step boundary.
@@ -272,23 +283,62 @@ class Trainer:
             payload = jax.tree.map(np.asarray, payload)
         self._ckpt.save(path, payload, force=True)
 
-    def latest_checkpoint(self) -> Optional[str]:
-        """Newest checkpoint in the run dir for preemption auto-resume
-        (reference: train.py:71-95; corrupted ckpts are skipped).
-
-        Probes candidates via orbax metadata only — the actual restore
-        happens once, in the caller."""
+    def _checkpoint_candidates(self) -> list:
+        """All checkpoint dirs in the run dir, newest first."""
         cands = [os.path.join(self.run_dir, d)
                  for d in os.listdir(self.run_dir)
                  if d.startswith("ckpt_") and
                  os.path.isdir(os.path.join(self.run_dir, d))]
-        for path in sorted(cands, key=os.path.getmtime, reverse=True):
+        return sorted(cands, key=os.path.getmtime, reverse=True)
+
+    def latest_checkpoint(self) -> Optional[str]:
+        """Newest checkpoint in the run dir for preemption auto-resume
+        (reference: train.py:71-95; corrupted ckpts are skipped).
+
+        Probes candidates via orbax metadata only — for fallback on an
+        ACTUAL restore failure use restore_latest()."""
+        for path in self._checkpoint_candidates():
             try:
                 self._ckpt.metadata(os.path.abspath(path))
                 return path
             except Exception as e:                     # corrupted: fall back
                 print(f"skipping corrupted checkpoint {path}: {e}")
         return None
+
+    def restore_latest(self, state: TrainState):
+        """Full-resume from the newest RESTORABLE checkpoint: try-restores
+        newest -> oldest and falls back past checkpoints whose payload is
+        corrupted, not just ones whose metadata is unreadable (reference:
+        train.py:85-92 try-loads the ckpt and falls back to the
+        second-newest). Returns (state, path-or-None)."""
+        for path in self._checkpoint_candidates():
+            try:
+                return self.restore_checkpoint(path, state), path
+            except Exception as e:                     # corrupted: fall back
+                print(f"restore failed for {path}, falling back: {e}")
+        return state, None
+
+    def _save_best(self, ap: float, state: TrainState) -> None:
+        """Keep the TWO best-AP checkpoints (reference keeps top-2 by
+        val/AP plus last, callbacks/custom.py:9-29, general.yaml:33):
+        a new best demotes ckpt_best -> ckpt_best2; an AP beating only
+        the runner-up overwrites ckpt_best2. Filesystem moves run on
+        process 0 only; the orbax save itself is a collective all ranks
+        enter (it contains a global barrier)."""
+        import shutil
+
+        if ap > self._best_aps[0]:
+            if self._best_aps[0] >= 0 and jax.process_index() == 0:
+                best = os.path.join(self.run_dir, "ckpt_best")
+                best2 = os.path.join(self.run_dir, "ckpt_best2")
+                shutil.rmtree(best2, ignore_errors=True)
+                if os.path.isdir(best):
+                    os.rename(best, best2)
+            self._best_aps = [ap, self._best_aps[0]]
+            self.save_checkpoint(state, "best")
+        elif ap > self._best_aps[1]:
+            self._best_aps[1] = ap
+            self.save_checkpoint(state, "best2")
 
     def load_weights(self, path: str, state: TrainState) -> TrainState:
         """Weight-only resume (reference: modules/detection.py:583-594)."""
@@ -407,7 +457,6 @@ class Trainer:
         M = (cfg.training.max_det_frames or
              default_frames_per_slot(cfg.dataset.sequence_length,
                                      cfg.model.use_label_every))
-        best_ap = -1.0
         last_ckpt_time = time.time()
         # preemption-safe shutdown: SIGTERM -> checkpoint at the next
         # step boundary, then exit cleanly (only installable from the
@@ -518,9 +567,7 @@ class Trainer:
                         self.logger.log(
                             {"step": step,
                              **{f"val/{k}": v for k, v in m.items()}})
-                        if m["AP"] > best_ap:
-                            best_ap = m["AP"]
-                            self.save_checkpoint(state, "best")
+                        self._save_best(float(m["AP"]), state)
             # the stop path already wrote ckpt_last — don't rewrite it
             # during the scarce preemption grace window
             if not stopped:

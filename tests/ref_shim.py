@@ -67,8 +67,32 @@ def _install_shims():
             raise RuntimeError("torchvision shim: op not available")
 
         for name in ("nms", "batched_nms", "generalized_box_iou_loss",
-                     "box_iou", "sigmoid_focal_loss"):
+                     "box_iou"):
             setattr(ops, name, _unavailable)
+
+        def sigmoid_focal_loss(inputs, targets, alpha=0.25, gamma=2,
+                               reduction="none"):
+            """torchvision.ops.sigmoid_focal_loss semantics (standard
+            RetinaNet focal loss) so the reference FocalLoss objectness
+            branch (losses.py:69-85) runs for parity tests."""
+            import torch
+            import torch.nn.functional as F
+
+            p = torch.sigmoid(inputs)
+            ce = F.binary_cross_entropy_with_logits(
+                inputs, targets, reduction="none")
+            p_t = p * targets + (1 - p) * (1 - targets)
+            loss = ce * ((1 - p_t) ** gamma)
+            if alpha >= 0:
+                alpha_t = alpha * targets + (1 - alpha) * (1 - targets)
+                loss = alpha_t * loss
+            if reduction == "mean":
+                loss = loss.mean()
+            elif reduction == "sum":
+                loss = loss.sum()
+            return loss
+
+        ops.sigmoid_focal_loss = sigmoid_focal_loss
         tv.ops = ops
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.ops"] = ops
@@ -90,10 +114,13 @@ def reference_model_config(embed_dim: int = 32,
                            num_blocks=(1, 1, 1, 1),
                            mlp_gated: bool = False,
                            lstm_dws_conv: bool = False,
-                           depthwise: bool = False) -> _Node:
+                           depthwise: bool = False,
+                           head_kwargs: dict = None) -> _Node:
     """Config mirroring reference config/model/maxvit_yolox/default.yaml
-    with the partition size pre-resolved (config/modifier.py:59-64)."""
-    return _wrap({
+    with the partition size pre-resolved (config/modifier.py:59-64).
+    head_kwargs: extra YOLOXHead constructor args (e.g. obj_focal_loss,
+    ignore_bg_k — reference yolo_head.py:32-34) merged into head cfg."""
+    cfg = _wrap({
         "backbone": {
             "name": "MaxViTRNN",
             "compile": None,
@@ -133,3 +160,6 @@ def reference_model_config(embed_dim: int = 32,
                  "act": "silu", "num_classes": num_classes},
         "postprocess": {"confidence_threshold": 0.1, "nms_threshold": 0.45},
     })
+    if head_kwargs:
+        cfg["head"].update(_wrap(head_kwargs))
+    return cfg

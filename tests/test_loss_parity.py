@@ -38,9 +38,14 @@ def _labels() -> np.ndarray:
     return lab
 
 
-def _setup(use_l1: bool, weighting: str):
+def _setup(use_l1: bool, weighting: str, focal: bool = False,
+           ignore_bg_k: float = 0.0):
     RefDet = import_reference_detector()
-    ref = RefDet(reference_model_config())
+    # obj_focal_loss selects obj_loss_fn at construction
+    # (yolo_head.py:150-151), so it must ride the config
+    ref = RefDet(reference_model_config(
+        head_kwargs={"obj_focal_loss": focal,
+                     "ignore_bg_k": ignore_bg_k if ignore_bg_k > 0 else -1}))
     g = torch.Generator().manual_seed(3)
     with torch.no_grad():
         for p in ref.parameters():
@@ -54,7 +59,8 @@ def _setup(use_l1: bool, weighting: str):
         backbone=BackboneConfig(embed_dim=32, in_res_hw=(H, W),
                                 partition_size=(2, 3)),
         head=HeadConfig(num_classes=2, use_l1=use_l1,
-                        bbox_loss_weighting=weighting))
+                        bbox_loss_weighting=weighting,
+                        obj_focal_loss=focal, ignore_bg_k=ignore_bg_k))
     det = Detector(cfg, dtype=jnp.float32)
     return ref, det, variables
 
@@ -116,11 +122,21 @@ def _reference_losses(ref, x: np.ndarray, labels: np.ndarray,
 # the 1-D [num_fg] weights (missing the [:, None] the cls path has) and
 # crashes — a second latent bug in the never-enabled branch. We follow
 # the evident intent (per-anchor weight across the 4 components).
-@pytest.mark.parametrize("use_l1,weighting", [
-    (False, ""), (True, ""), (False, "obj"), (False, "objxcls-w**2"),
+@pytest.mark.parametrize("use_l1,weighting,focal,bg_k", [
+    (False, "", False, 0.0),
+    (True, "", False, 0.0),
+    (False, "obj", False, 0.0),
+    (False, "objxcls-w**2", False, 0.0),
+    # obj focal loss (yolo_head.py:150-151 + torchvision focal semantics)
+    (False, "", True, 0.0),
+    # top-k% background ignore on the obj loss (yolo_head.py:334-356,
+    # 539-541, 565-568): per image, the int(num_bg * k) highest-scoring
+    # bg anchors drop out of the objectness BCE
+    (False, "", False, 0.1),
+    (False, "obj", True, 0.05),       # combined knobs
 ])
-def test_train_loss_parity(use_l1, weighting):
-    ref, det, variables = _setup(use_l1, weighting)
+def test_train_loss_parity(use_l1, weighting, focal, bg_k):
+    ref, det, variables = _setup(use_l1, weighting, focal, bg_k)
     rng = np.random.default_rng(7)
     x = (rng.normal(size=(B, 20, H, W)) * 3).astype(np.float32)
     labels = _labels()

@@ -122,6 +122,89 @@ def test_remat_policies_equivalent():
         np.testing.assert_allclose(v, ref, rtol=1e-5, err_msg=k)
 
 
+def test_restore_latest_falls_back_on_corrupt_payload(exp_cfg, tmp_path):
+    """A checkpoint whose PAYLOAD is corrupted (metadata still readable)
+    must not win auto-resume: restore_latest try-restores and falls back
+    to the next-newest (reference: train.py:85-92)."""
+    import dataclasses as _dc
+    import glob
+    import time
+
+    cfg = _dc.replace(exp_cfg, save_dir=str(tmp_path), exp_name="fb")
+    trainer = Trainer(cfg, dtype=jnp.float32)
+    state = trainer.init_state(cfg.training.batch_size_train)
+    good = state._replace(step=jnp.asarray(3, jnp.int32))
+    trainer.save_checkpoint(good, "a")
+    time.sleep(0.05)              # mtime-ordered candidates
+    bad = state._replace(step=jnp.asarray(9, jnp.int32))
+    trainer.save_checkpoint(bad, "b")
+    bad_dir = os.path.join(trainer.run_dir, "ckpt_b")
+    for f in glob.glob(os.path.join(bad_dir, "d", "*")):
+        with open(f, "wb") as fh:
+            fh.write(b"garbage")
+    # metadata probe alone would still pick the corrupted newest
+    assert trainer.latest_checkpoint() == bad_dir
+    restored, path = trainer.restore_latest(state)
+    assert path == os.path.join(trainer.run_dir, "ckpt_a")
+    assert int(restored.step) == 3
+    # nothing restorable at all -> original state, path None
+    for d in glob.glob(os.path.join(trainer.run_dir, "ckpt_*")):
+        for f in glob.glob(os.path.join(d, "d", "*")):
+            with open(f, "wb") as fh:
+                fh.write(b"garbage")
+    same, path = trainer.restore_latest(state)
+    assert path is None and same is state
+
+
+def test_best_checkpoint_top2_retention(exp_cfg, tmp_path):
+    """Top-2 best-AP retention (reference: callbacks/custom.py:9-29
+    save_top_k=2): a new best demotes ckpt_best to ckpt_best2; an AP
+    beating only the runner-up replaces ckpt_best2; a worse AP saves
+    nothing."""
+    import dataclasses as _dc
+
+    cfg = _dc.replace(exp_cfg, save_dir=str(tmp_path), exp_name="top2")
+    trainer = Trainer(cfg, dtype=jnp.float32)
+    base = trainer.init_state(cfg.training.batch_size_train)
+
+    def step_of(name):
+        from leod_tpu.train.trainer import load_checkpoint
+        return int(load_checkpoint(
+            os.path.join(trainer.run_dir, f"ckpt_{name}"))["step"])
+
+    trainer._save_best(0.5, base._replace(step=jnp.asarray(1, jnp.int32)))
+    assert step_of("best") == 1
+    assert not os.path.isdir(os.path.join(trainer.run_dir, "ckpt_best2"))
+    trainer._save_best(0.7, base._replace(step=jnp.asarray(2, jnp.int32)))
+    assert step_of("best") == 2 and step_of("best2") == 1
+    trainer._save_best(0.6, base._replace(step=jnp.asarray(3, jnp.int32)))
+    assert step_of("best") == 2 and step_of("best2") == 3
+    trainer._save_best(0.4, base._replace(step=jnp.asarray(4, jnp.int32)))
+    assert step_of("best") == 2 and step_of("best2") == 3
+    assert trainer._best_aps == [0.7, 0.6]
+
+
+def test_eval_budget_autogrow(exp_cfg):
+    """run_streaming_eval must never drop labeled frames: an undersized
+    per-slot budget auto-regrows (recompiles) instead of warning
+    (reference harvests ragged and can never drop,
+    modules/utils/detection.py:27-58)."""
+    import dataclasses as _dc
+
+    # window of 8 reprs with labels every 4 -> 2 labeled frames/slot;
+    # frames_per_slot=1 must regrow to 2, not drop
+    cfg = _dc.replace(exp_cfg, dataset=_dc.replace(exp_cfg.dataset,
+                                                   sequence_length=8))
+    trainer = Trainer(cfg, dtype=jnp.float32)
+    state = trainer.init_state(cfg.training.batch_size_train)
+    m_small = run_streaming_eval(trainer.det, state.variables, cfg,
+                                 split="val", frames_per_slot=1)
+    m_big = run_streaming_eval(trainer.det, state.variables, cfg,
+                               split="val", frames_per_slot=4)
+    assert m_small is not None and m_big is not None
+    np.testing.assert_allclose(m_small["AP"], m_big["AP"], atol=1e-9)
+
+
 def test_preemption_stop_checkpoints_and_exits(exp_cfg, tmp_path):
     """request_stop() (wired to SIGTERM inside fit) checkpoints at the
     next step boundary and exits instead of running to max_steps."""

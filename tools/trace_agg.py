@@ -94,6 +94,7 @@ def aggregate(out_dir: str, steps: int):
     by_op = collections.Counter()
     by_cat = collections.Counter()
     total = 0.0
+    loop_total = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
@@ -102,12 +103,22 @@ def aggregate(out_dir: str, steps: int):
                 pid_names.get(e.get("pid"), "")):
             continue
         dur = e.get("dur", 0) / 1e3            # us -> ms
+        if name.lstrip("%").startswith("while"):
+            # scan wrapper rows CONTAIN the inner ops (CLAUDE.md): keep
+            # them out of the per-op totals and report separately as the
+            # real loop time
+            loop_total += dur
+            continue
         by_op[name] += dur
         by_cat[categorize(name)] += dur
         total += dur
     print(f"trace: {path}")
     print(f"device op time total: {total:.2f} ms over {steps} frames "
-          f"-> {total / steps:.3f} ms/frame-step\n")
+          f"-> {total / steps:.3f} ms/frame-step")
+    if loop_total:
+        print(f"scan-wrapper (while) rows: {loop_total:.2f} ms — the real "
+              f"loop total; inner-op sum above excludes them")
+    print()
     print("== by category ==")
     for cat, ms in by_cat.most_common():
         print(f"{ms:9.2f} ms  {ms / total * 100:5.1f}%  {cat}")

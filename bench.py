@@ -57,17 +57,24 @@ def build_infer(det):
 
 
 def make_ev(cfg, B, L, seed: int = 1):
-    """Synthetic uint8 event window [L, B, H, W/f, f*C], stem-folded
-    exactly like the host loader ships it (docs/benchmarks.md)."""
+    """Synthetic uint8 event window stem-folded exactly like the host
+    loader ships it (docs/benchmarks.md): both-axis space-to-depth
+    [L, B, H/fh, W/fw, fh*fw*C] by default, BENCH_FOLD=w for the
+    width-only layout, BENCH_FOLD=none for raw NHWC."""
     import jax
     import jax.numpy as jnp
-    from leod_tpu.config import stem_width_fold
+    from leod_tpu.config import stem_fold_hw
 
     h, w = cfg.model.backbone.in_res_hw
     c = cfg.model.backbone.input_channels
-    f = stem_width_fold(cfg.model)
+    fh, fw = stem_fold_hw(cfg.model)
+    mode = os.environ.get("BENCH_FOLD", "hw")
+    if mode == "w":
+        fh = 1
+    elif mode == "none":
+        fh = fw = 1
     return (jax.random.uniform(jax.random.PRNGKey(seed),
-                               (L, B, h, w // f, f * c))
+                               (L, B, h // fh, w // fw, fh * fw * c))
             * 32).astype(jnp.uint8)
 
 

@@ -50,6 +50,11 @@ def main():
                          "dataset at --path (no model inference)")
     ap.add_argument("--conf", type=float, default=0.1)
     ap.add_argument("--verify-frac", type=float, default=0.1)
+    ap.add_argument("--shard-index", type=int, default=0,
+                    help="sequence shard this process generates (pseudo-gen "
+                         "is embarrassingly shardable; run one process per "
+                         "shard into the same --save-dir, then verify once)")
+    ap.add_argument("--num-shards", type=int, default=1)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--fp32", action="store_true")
     args = ap.parse_args()
@@ -117,10 +122,19 @@ def main():
         variables = {"params": restored["params"],
                      "batch_stats": restored["batch_stats"]}
 
-    runner = PseudoLabelRunner(det, variables, cfg, pl_cfg, args.save_dir)
+    runner = PseudoLabelRunner(det, variables, cfg, pl_cfg, args.save_dir,
+                               shard_index=args.shard_index,
+                               num_shards=args.num_shards)
     metrics = runner.run()
     print("teacher quality:", json.dumps(metrics, indent=2, default=float))
 
+    if args.num_shards > 1:
+        # dataset verification + scoring need the union of all shards;
+        # run them once after the last shard finishes (cli/val_dst.py)
+        print(f"shard {args.shard_index}/{args.num_shards} done; "
+              f"verify the merged dataset with cli/val_dst.py once all "
+              f"shards have finished")
+        return
     n = verify_pseudo_dataset(args.save_dir, dst,
                               sample_frac=args.verify_frac,
                               use_gt=pl_cfg.use_gt)

@@ -256,6 +256,17 @@ def stem_width_fold(model: "ModelConfig") -> int:
     return 4 if ok else 1
 
 
+def stem_fold_hw(model: "ModelConfig") -> Tuple[int, int]:
+    """(fold_h, fold_w) for the host-side space-to-depth prefold. The
+    stem also accepts the BOTH-axis fold [B, H/4, W/4, 16*C] (a 2x2
+    stride-1 conv with all 128 lanes busy); the H fold is a transpose,
+    which host loaders fold into the copy they already materialize
+    (harvest_frames)."""
+    w = stem_width_fold(model)
+    h = 4 if (w == 4 and model.backbone.in_res_hw[0] % 4 == 0) else 1
+    return h, w
+
+
 @dataclass(frozen=True)
 class ExperimentConfig:
     dataset: DatasetConfig = field(default_factory=DatasetConfig)

@@ -70,8 +70,16 @@ def run_tta_eval(det: Detector, variables, cfg: ExperimentConfig,
                  split: str = "test", hflip: bool = True, tflip: bool = True,
                  batch_size: Optional[int] = None,
                  conf_threshold: Optional[float] = None,
-                 frames_per_slot: Optional[int] = None
+                 frames_per_slot: Optional[int] = None,
+                 shard_index: int = 0, num_shards: int = 1,
+                 evaluator: Optional[PropheseeEvaluator] = None
                  ) -> Optional[Dict[str, float]]:
+    """shard_index/num_shards: deterministic sequence sharding (same
+    pyramid deal as run_streaming_eval); pass one `evaluator` per shard
+    and PropheseeEvaluator.merge the buffers before evaluating — the
+    union of shards equals a full run (tests/test_selftrain_shard.py).
+    The t-flip pass reuses the identical deal, so each shard sees both
+    views of exactly its own sequences."""
     dst = cfg.dataset
     pp = cfg.model.postprocess
     if conf_threshold is not None:
@@ -91,7 +99,9 @@ def run_tta_eval(det: Detector, variables, cfg: ExperimentConfig,
             dst, split, seq_ratio={"val": dst.val_ratio,
                                    "test": dst.test_ratio}.get(split, -1.0))
         B_eff = min(B, len(seqs))
-        loader = EvalStreamLoader(seqs, dst, B_eff, time_flip=time_flip)
+        loader = EvalStreamLoader(seqs, dst, B_eff, time_flip=time_flip,
+                                  shard_index=shard_index,
+                                  num_shards=num_shards)
         B_dev = B_eff * 2 if hflip else B_eff
         states = det.init_states(B_dev)
         for batch in Prefetcher(iter(loader)):
@@ -103,9 +113,17 @@ def run_tta_eval(det: Detector, variables, cfg: ExperimentConfig,
                 dev_in["labels"] = [row * 2 for row in batch["labels"]]
             else:
                 dev_in = batch
-            hb = harvest_frames(dev_in, M, cfg.model.head.max_gt,
-                                cfg.model.backbone.in_res_hw,
-                                fold_w=stem_width_fold(cfg.model))
+            while True:
+                hb = harvest_frames(dev_in, M, cfg.model.head.max_gt,
+                                    cfg.model.backbone.in_res_hw,
+                                    fold_w=stem_width_fold(cfg.model))
+                if not hb["dropped_frames"]:
+                    break
+                # eval must never drop labeled frames (same auto-regrow
+                # as run_streaming_eval)
+                M = int(hb["max_slot_frames"])
+                print(f"tta harvest budget grown to {M}/slot "
+                      f"(recompiling eval step)", flush=True)
             dev = {k: hb[k] for k in ("ev", "is_first", "frame_t",
                                       "frame_mask", "labels")}
             states, preds = eval_step(variables, states, dev)
@@ -142,8 +160,13 @@ def run_tta_eval(det: Detector, variables, cfg: ExperimentConfig,
         for s in seqs:
             s.close()
 
-    evaluator = PropheseeEvaluator(dst.name, dst.downsample_by_factor_2)
+    if evaluator is None:
+        evaluator = PropheseeEvaluator(dst.name, dst.downsample_by_factor_2)
     for path, rec in results.items():
+        # a truncated normal pass must fail loudly, not silently evaluate
+        # a partial sequence (the pseudo runner makes the same assertion;
+        # reference: predict.py:219 asserts end-of-stream before saving)
+        assert rec.ended, f"{path} never reached end-of-stream"
         for ev_i in sorted(rec.gts.keys()):
             pooled = np.concatenate(
                 [p for p in rec.preds.get(ev_i, []) if len(p)] or

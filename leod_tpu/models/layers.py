@@ -173,11 +173,15 @@ class _S2DStemConv(nn.Module):
     j with in-block tap index 4*bw + s - 1 (the tap at -1 is zero).
     Params identical to nn.Conv: kernel [7, 7, Cin, Cout].
 
-    Accepts EITHER [B, H, W, Cin] (folds on device) or the pre-folded
-    [B, H, W/4, 4*Cin]: the host-side fold is a free numpy reshape of a
-    contiguous event tensor, while the device-side one costs a per-step
-    layout copy (~7% of end-to-end inference at Gen1 B=16, measured —
-    docs/benchmarks.md); host feeders should fold via `fold_ev_width`."""
+    Accepts THREE input layouts, dispatched on the channel count —
+    [B, H, W, Cin] (folds on device; costs a layout copy),
+    [B, H, W/4, 4*Cin] (host width-prefold: free numpy reshape), or
+    [B, H/4, W/4, 16*Cin] (host both-axis space-to-depth: the H fold is
+    a transpose, but the host loader folds it into the copy it already
+    makes; the conv becomes a 128-lane-saturating 2x2/stride-1 GEMM).
+    All layouts produce bit-identical outputs from the same params
+    (tests/test_models.py); host feeders fold via `fold_ev_width` /
+    `fold_ev_hw`."""
     dim_out: int
     in_channels: int              # raw event channels (Cin before folding)
     dtype: Optional[Dtype] = None
@@ -187,9 +191,21 @@ class _S2DStemConv(nn.Module):
         cin = self.in_channels
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (7, 7, cin, self.dim_out))
+        dt = self.dtype or x.dtype
+        if x.shape[-1] == 16 * cin:                 # full S2D [H/4, W/4]
+            # output (i,j) covers input rows/cols 4i-3..4i+3: pad one
+            # leading zero tap per axis, then taps (s_h, s_w) of block
+            # (bh, bw) land at in-channel ((s_h*4)+s_w)*cin + c
+            k = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+            k = k.reshape(2, 4, 2, 4, cin, self.dim_out)
+            k = k.transpose(0, 2, 1, 3, 4, 5).reshape(
+                2, 2, 16 * cin, self.dim_out)
+            return jax.lax.conv_general_dilated(
+                x.astype(dt), k.astype(dt), (1, 1),
+                [(1, 0), (1, 0)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         k = jnp.pad(kernel, ((0, 0), (1, 0), (0, 0), (0, 0)))   # [7,8,ci,co]
         k = k.reshape(7, 2, 4 * cin, self.dim_out)
-        dt = self.dtype or x.dtype
         if x.shape[-1] == cin:                      # fold on device
             b, h, w, _ = x.shape
             assert w % 4 == 0, w
@@ -216,6 +232,33 @@ def unfold_ev_width(ev):
     *lead, h, w4, c4 = ev.shape
     assert c4 % 4 == 0, ev.shape
     return ev.reshape(*lead, h, w4 * 4, c4 // 4)
+
+
+def fold_ev_hw(ev):
+    """Host-side BOTH-axis space-to-depth [..., H, W, C] ->
+    [..., H/4, W/4, 16*C] for the stride-4 S2D stem. Unlike the width
+    fold this involves a transpose (not a free view) — host loaders fold
+    it into the transpose/pad copy they already materialize
+    (harvest_frames fold_h). Inverse: unfold_ev_hw."""
+    import numpy as _np
+    *lead, h, w, c = ev.shape
+    assert h % 4 == 0 and w % 4 == 0, ev.shape
+    x = ev.reshape(*lead, h // 4, 4, w // 4, 4 * c)
+    x = _np.moveaxis(x, -3, -2) if isinstance(ev, _np.ndarray) else \
+        jnp.moveaxis(x, -3, -2)
+    return x.reshape(*lead, h // 4, w // 4, 16 * c)
+
+
+def unfold_ev_hw(ev):
+    """[..., H/4, W/4, 16*C] -> [..., H, W, C]."""
+    import numpy as _np
+    *lead, h4, w4, c16 = ev.shape
+    assert c16 % 16 == 0, ev.shape
+    c = c16 // 16
+    x = ev.reshape(*lead, h4, w4, 4, 4 * c)
+    x = _np.moveaxis(x, -2, -3) if isinstance(ev, _np.ndarray) else \
+        jnp.moveaxis(x, -2, -3)
+    return x.reshape(*lead, h4 * 4, w4 * 4, c)
 
 
 class ConvDownsample(nn.Module):

@@ -254,7 +254,10 @@ class SequenceRecorder:
                 src = os.readlink(src)
             dst_link = osp.join(save_dir, split)
             if osp.exists(src) and not osp.lexists(dst_link):
-                os.symlink(osp.abspath(src), dst_link)
+                try:
+                    os.symlink(osp.abspath(src), dst_link)
+                except FileExistsError:   # another shard linked it first
+                    pass
 
 
 def rerun_track_filter(src_root: str, save_dir: str, dst: DatasetConfig,

@@ -42,12 +42,20 @@ class _SlotLens:
 class PseudoLabelRunner:
     def __init__(self, det: Detector, variables, cfg: ExperimentConfig,
                  pl_cfg: PseudoLabelConfig, save_dir: str,
-                 batch_size: Optional[int] = None):
+                 batch_size: Optional[int] = None,
+                 shard_index: int = 0, num_shards: int = 1):
+        """shard_index/num_shards: deterministic sequence sharding (the
+        same pyramid deal as sharded eval) so pseudo-generation — the
+        reference's 7-10h single-GPU bottleneck (predict.py:167-168) —
+        parallelizes over processes: each shard records and saves only
+        its own sequences, and the union of shards equals a full run
+        (tests/test_selftrain_shard.py)."""
         self.det = det
         self.variables = variables
         self.cfg = cfg
         self.pl = pl_cfg
         self.save_dir = save_dir
+        self.shard_index, self.num_shards = shard_index, num_shards
         self.batch_size = batch_size or cfg.training.batch_size_eval
         self.recorders: Dict[str, SequenceRecorder] = {}
         self.quality = PropheseeEvaluator(cfg.dataset.name,
@@ -62,7 +70,9 @@ class PseudoLabelRunner:
                                     label_ratio=dst.ratio, pseudo_mode=True)
         B = min(self.batch_size, len(seqs))
         loader = EvalStreamLoader(seqs, dst, B, time_flip=time_flip,
-                                  start_from_zero=True)
+                                  start_from_zero=True,
+                                  shard_index=self.shard_index,
+                                  num_shards=self.num_shards)
         L = dst.sequence_length
         hflip = pl.tta_hflip
         B_dev = B * 2 if hflip else B
@@ -169,8 +179,9 @@ class PseudoLabelRunner:
 
     # -- full run ---------------------------------------------------------------
     def run(self) -> Dict[str, float]:
-        assert not os.path.exists(os.path.join(self.save_dir, "train")), \
-            f"{self.save_dir}/train already exists"
+        if self.num_shards == 1:
+            assert not os.path.exists(os.path.join(self.save_dir, "train")), \
+                f"{self.save_dir}/train already exists"
         os.makedirs(os.path.join(self.save_dir, "train"), exist_ok=True)
         self._run_pass(time_flip=False)
         if self.pl.tta_tflip:

@@ -45,6 +45,7 @@ def main():
     root = sys.argv[4]
     runs = sys.argv[5]
     out_path = sys.argv[6]
+    mode = sys.argv[7] if len(sys.argv) > 7 else "train_eval"
 
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     import jax
@@ -63,6 +64,24 @@ def main():
     cfg = build_cfg(root, runs)
     mesh = make_mesh()
     assert mesh.devices.size == 2 * nproc
+
+    if mode == "preempt":
+        # preemption failure-injection: the parent SIGTERMs ONE rank
+        # mid-fit; the stop request must propagate through the
+        # rank-consistent sync (trainer.fit multihost flags all-gather)
+        # so BOTH ranks checkpoint and leave fit at the same step.
+        cfg = dataclasses.replace(
+            cfg, training=dataclasses.replace(
+                cfg.training, max_steps=500, multihost_sync_every=2))
+        trainer = Trainer(cfg, dtype=jnp.float32, mesh=mesh)
+        state = trainer.fit(log_every=1)
+        step = int(state.step)
+        assert step < 500, "fit ran to completion; preemption never landed"
+        ckpt = os.path.join(trainer.run_dir, "ckpt_last")
+        with open(out_path, "w") as f:
+            json.dump({"step": step, "ckpt_exists": os.path.isdir(ckpt)}, f)
+        return
+
     trainer = Trainer(cfg, dtype=jnp.float32, mesh=mesh)
     state = trainer.fit(max_steps=3, log_every=1)
     assert int(state.step) == 3

@@ -66,9 +66,49 @@ def _install_shims():
         def _unavailable(*a, **k):          # pragma: no cover
             raise RuntimeError("torchvision shim: op not available")
 
-        for name in ("nms", "batched_nms", "generalized_box_iou_loss",
-                     "box_iou"):
+        for name in ("generalized_box_iou_loss", "box_iou"):
             setattr(ops, name, _unavailable)
+
+        def nms(boxes, scores, iou_threshold):
+            """torchvision.ops.nms public semantics: greedy score-descending
+            suppression of xyxy boxes with IoU > threshold; keeps original
+            order among equal scores. Needed so the reference postprocess
+            (boxes.py:66-78) runs for cross-framework eval parity."""
+            import torch
+
+            order = torch.argsort(scores, descending=True, stable=True)
+            keep = []
+            while order.numel() > 0:
+                i = order[0]
+                keep.append(i)
+                if order.numel() == 1:
+                    break
+                rest = order[1:]
+                b, r = boxes[i], boxes[rest]
+                ix = (torch.minimum(b[2], r[:, 2])
+                      - torch.maximum(b[0], r[:, 0])).clamp(min=0)
+                iy = (torch.minimum(b[3], r[:, 3])
+                      - torch.maximum(b[1], r[:, 1])).clamp(min=0)
+                inter = ix * iy
+                area_b = (b[2] - b[0]) * (b[3] - b[1])
+                area_r = (r[:, 2] - r[:, 0]) * (r[:, 3] - r[:, 1])
+                iou = inter / (area_b + area_r - inter)
+                order = rest[iou <= iou_threshold]
+            return torch.stack(keep) if keep else torch.zeros(
+                0, dtype=torch.long)
+
+        def batched_nms(boxes, scores, idxs, iou_threshold):
+            """Category-offset trick, same as torchvision."""
+            import torch
+
+            if boxes.numel() == 0:
+                return torch.zeros(0, dtype=torch.long)
+            max_coord = boxes.max()
+            offsets = idxs.to(boxes) * (max_coord + 1)
+            return nms(boxes + offsets[:, None], scores, iou_threshold)
+
+        ops.nms = nms
+        ops.batched_nms = batched_nms
 
         def sigmoid_focal_loss(inputs, targets, alpha=0.25, gamma=2,
                                reduction="none"):

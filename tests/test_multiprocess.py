@@ -105,3 +105,63 @@ def test_two_process_train_and_eval(tmp_path):
                                      split="val")
     for k in ("AP", "AP_50", "AP_75"):
         assert m0[k] == pytest.approx(ref_metrics[k], abs=2e-3), k
+
+
+@pytest.mark.slow
+def test_two_process_preemption_stops_both_ranks(tmp_path):
+    """Failure injection: SIGTERM ONE rank mid-fit. The stop request must
+    propagate through the rank-consistent multihost sync so BOTH ranks
+    checkpoint-and-exit cleanly at the SAME step (a rank leaving the loop
+    alone would deadlock the other in the next step's collectives).
+    Reference analogue: SLURM preemption auto-ckpt (train.py:71-95),
+    never tested there without hardware."""
+    import signal
+    import time
+
+    from leod_tpu.data.synthetic import generate_dataset
+
+    root = str(tmp_path / "synth")
+    generate_dataset(root, num_train=2, num_val=1, num_test=0,
+                     num_reprs=24, label_every=4, first_label_repr=11,
+                     hw=(64, 96))
+
+    runs = str(tmp_path / "runs_preempt")
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["PYTHONPATH"] = os.path.dirname(TESTS_DIR)
+    outs = [str(tmp_path / f"pre{p}.json") for p in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(TESTS_DIR, "mp_worker.py"),
+             str(p), "2", str(port), root, runs, outs[p], "preempt"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env)
+        for p in range(2)
+    ]
+    # wait until training demonstrably progresses (rank 0 logs every step)
+    metrics_path = os.path.join(runs, "mp", "metrics.jsonl")
+    deadline = time.time() + 600
+    while time.time() < deadline:
+        if os.path.exists(metrics_path):
+            with open(metrics_path) as f:
+                if sum(1 for line in f if "loss" in line) >= 3:
+                    break
+        if any(p.poll() is not None for p in procs):
+            break                          # crashed early; assert below
+        time.sleep(1.0)
+    # inject the failure into rank 1 ONLY
+    procs[1].send_signal(signal.SIGTERM)
+    logs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        logs.append(out)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-4000:]
+
+    results = []
+    for path in outs:
+        with open(path) as f:
+            results.append(json.load(f))
+    # both ranks left fit at the SAME step and the checkpoint exists
+    assert results[0]["step"] == results[1]["step"] > 0
+    assert results[0]["ckpt_exists"] and results[1]["ckpt_exists"]

@@ -326,7 +326,8 @@ def harvest_frames(batch: dict, frames_per_slot: int, max_gt: int,
                    pad_hw: Tuple[int, int], use_label_every: int = 1,
                    ignore_label: int = 1024,
                    ignore_image: bool = False,
-                   fold_w: int = 1) -> dict:
+                   fold_w: int = 1,
+                   fold_hw: Optional[Tuple[int, int]] = None) -> dict:
     """Device-ready arrays: pad ev to `pad_hw`, NHWC time-major, and a
     PER-SLOT static-budget list of labeled timesteps + padded labels.
 
@@ -343,8 +344,13 @@ def harvest_frames(batch: dict, frames_per_slot: int, max_gt: int,
     stem (config.stem_width_fold): the host-side copy folds into the
     existing transpose/pad materialization (no extra device cost),
     whereas folding on device costs a per-step layout copy
-    (docs/benchmarks.md).
+    (docs/benchmarks.md). `fold_hw=(fh, fw)` (config.stem_fold_hw)
+    additionally folds the H axis ([L, B, H/f, W/f, f*f*C]) so the stem
+    runs as a lane-saturating 2x2 stride-1 conv; it overrides fold_w.
     """
+    fold_h = 1
+    if fold_hw is not None:
+        fold_h, fold_w = fold_hw
     ev = batch["ev"]                                    # [L, B, C, H, W]
     L, B = ev.shape[:2]
     h, w = ev.shape[-2:]
@@ -356,6 +362,13 @@ def harvest_frames(batch: dict, frames_per_slot: int, max_gt: int,
         assert pad_hw[1] % fold_w == 0, (pad_hw, fold_w)
         ev = ev.reshape(L, B, pad_hw[0], pad_hw[1] // fold_w,
                         fold_w * ev.shape[-1])
+    if fold_h > 1:
+        assert fold_w == fold_h == 4 and pad_hw[0] % 4 == 0, (pad_hw,
+                                                              fold_h, fold_w)
+        ev = ev.reshape(L, B, pad_hw[0] // 4, 4, ev.shape[-2], ev.shape[-1])
+        ev = np.moveaxis(ev, 3, 4)
+        ev = ev.reshape(L, B, pad_hw[0] // 4, pad_hw[1] // 4,
+                        16 * (ev.shape[-1] // 4))
 
     M = frames_per_slot
     t_idx = np.zeros((B, M), np.int32)

@@ -13,7 +13,7 @@ from typing import Dict, List, Optional
 import jax
 import numpy as np
 
-from ..config import ExperimentConfig, PostprocessConfig, stem_width_fold
+from ..config import ExperimentConfig, PostprocessConfig, stem_fold_hw
 from ..data.labels import Boxes
 from ..data.loader import (EvalStreamLoader, Prefetcher, harvest_frames,
                            open_split_sequences)
@@ -116,7 +116,7 @@ def run_tta_eval(det: Detector, variables, cfg: ExperimentConfig,
             while True:
                 hb = harvest_frames(dev_in, M, cfg.model.head.max_gt,
                                     cfg.model.backbone.in_res_hw,
-                                    fold_w=stem_width_fold(cfg.model))
+                                    fold_hw=stem_fold_hw(cfg.model))
                 if not hb["dropped_frames"]:
                     break
                 # eval must never drop labeled frames (same auto-regrow

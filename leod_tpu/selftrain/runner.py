@@ -14,7 +14,7 @@ from typing import Dict, List, Optional, Tuple
 import jax
 import numpy as np
 
-from ..config import ExperimentConfig, stem_width_fold
+from ..config import ExperimentConfig, stem_fold_hw
 from ..data.loader import (EvalStreamLoader, Prefetcher, harvest_frames,
                            open_split_sequences)
 from ..eval.prophesee import PropheseeEvaluator, boxes_to_prophesee
@@ -100,7 +100,7 @@ class PseudoLabelRunner:
                                       for _ in range(L)]},
                 frames_per_slot=L, max_gt=1,
                 pad_hw=cfg.model.backbone.in_res_hw,
-                fold_w=stem_width_fold(cfg.model))
+                fold_hw=stem_fold_hw(cfg.model))
             # predict on ALL timesteps; host decides what to keep
             hb["frame_t"] = np.tile(np.arange(L, dtype=np.int32),
                                     (dev_in["ev"].shape[1], 1))

@@ -24,7 +24,7 @@ try:
 except Exception:                                   # pragma: no cover
     ocp = None
 
-from ..config import ExperimentConfig, stem_width_fold
+from ..config import ExperimentConfig, stem_fold_hw
 from ..data.loader import (EvalStreamLoader, MixedTrainLoader, Prefetcher,
                            RandomTrainLoader, StreamTrainLoader,
                            harvest_frames, open_split_sequences)
@@ -176,7 +176,7 @@ def run_streaming_eval(det: Detector, variables, cfg: ExperimentConfig,
         while True:
             hb = harvest_frames(batch, M, cfg.model.head.max_gt,
                                 cfg.model.backbone.in_res_hw,
-                                fold_w=stem_width_fold(cfg.model))
+                                fold_hw=stem_fold_hw(cfg.model))
             if not hb["dropped_frames"]:
                 break
             # dropped eval frames would silently bias mAP (the reference
@@ -407,9 +407,13 @@ class Trainer:
         b, m = (int(v) for v in rows[0])
         t = int(hb["frame_t"][b, m])
         ev = np.asarray(hb["ev"][t, b])
-        if ev.shape[-1] != self.cfg.model.backbone.input_channels:
+        c = self.cfg.model.backbone.input_channels
+        if ev.shape[-1] == 16 * c:             # stem-folded (harvest fold_hw)
+            from ..models.layers import unfold_ev_hw
+            ev = unfold_ev_hw(ev)
+        elif ev.shape[-1] != c:
             from ..models.layers import unfold_ev_width
-            ev = unfold_ev_width(ev)           # stem-folded (harvest fold_w)
+            ev = unfold_ev_width(ev)
         return {"ev": ev.copy(),
                 "gt": hb["boxes"][b][m],
                 "row": b * mask.shape[1] + m}
@@ -484,7 +488,7 @@ class Trainer:
                                     use_label_every=cfg.model.use_label_every,
                                     ignore_label=cfg.model.head.ignore_label,
                                     ignore_image=cfg.model.ignore_image,
-                                    fold_w=stem_width_fold(cfg.model))
+                                    fold_hw=stem_fold_hw(cfg.model))
                 dev = {k: hb[k] for k in ("ev", "is_first", "frame_t",
                                           "frame_mask", "labels")}
                 if self.mesh is not None:

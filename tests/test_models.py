@@ -180,3 +180,35 @@ def test_stem_folded_input_equivalence(det_and_vars):
     for s in f_plain:
         np.testing.assert_array_equal(np.asarray(f_plain[s]),
                                       np.asarray(f_fold[s]))
+
+    # both-axis space-to-depth [B, H/4, W/4, 16C] (config.stem_fold_hw /
+    # harvest_frames fold_hw): numerically equal (the 2x2 stride-1 conv
+    # sums taps in a different order, so equality is to fp tolerance)
+    from leod_tpu.models.layers import fold_ev_hw, unfold_ev_hw
+    folded_hw = fold_ev_hw(x)
+    assert folded_hw.shape == (2, 16, 24, 320)
+    np.testing.assert_array_equal(unfold_ev_hw(folded_hw), x)
+    f_hw, _ = det.forward_backbone(variables, jnp.asarray(folded_hw), states)
+    for s in f_plain:
+        np.testing.assert_allclose(np.asarray(f_plain[s]),
+                                   np.asarray(f_hw[s]),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_harvest_fold_hw_layout():
+    """harvest_frames fold_hw ships exactly fold_ev_hw of the padded
+    NHWC tensor."""
+    from leod_tpu.data.loader import harvest_frames
+    from leod_tpu.models.layers import fold_ev_hw
+
+    rng = np.random.default_rng(0)
+    L, B = 3, 2
+    ev = rng.integers(0, 50, (L, B, 20, 30, 40), dtype=np.int64).astype(
+        np.uint8)                                     # [L, B, C, H, W]
+    batch = {"ev": ev, "is_first": np.zeros(B, bool),
+             "labels": [[None] * B for _ in range(L)]}
+    plain = harvest_frames(batch, 2, 4, (32, 40))
+    folded = harvest_frames(batch, 2, 4, (32, 40), fold_hw=(4, 4))
+    want = fold_ev_hw(plain["ev"])
+    assert folded["ev"].shape == (L, B, 8, 10, 320)
+    np.testing.assert_array_equal(folded["ev"], want)

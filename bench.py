@@ -50,7 +50,9 @@ def build_infer(det):
             lambda v, x, s: det.forward_backbone(v, x, s)[0],
             variables, ev[0].astype(det.dtype), states)
         feats0 = jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), feats0)
-        (states, feats), _ = jax.lax.scan(body, (states, feats0), ev)
+        (states, feats), _ = jax.lax.scan(
+            body, (states, feats0), ev,
+            unroll=int(os.environ.get("BENCH_UNROLL", "1")))
         preds, _ = det.forward_detect(variables, feats, train=False)
         return preds, states
     return infer
@@ -162,7 +164,9 @@ def _bench_dataset(dataset: str, iters: int, latency: bool,
 
     cfg = experiment_preset(dataset, os.environ.get("BENCH_SIZE", "base"))
     det = Detector(cfg.model, dtype=jnp.bfloat16,
-                   fused_inference=os.environ.get("BENCH_FUSED", "0") == "1")
+                   fused_inference={"0": False, "1": True}.get(
+                       os.environ.get("BENCH_FUSED", "0"),
+                       os.environ.get("BENCH_FUSED")))
     variables = det.init(jax.random.PRNGKey(0), batch_size=1)
 
     # gen4 defaults mirror the reference workload (bs 8, L=5, reference

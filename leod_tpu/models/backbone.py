@@ -97,8 +97,28 @@ class RVTStage(nn.Module):
 
     def __call__(self, x: jnp.ndarray, state: StageState,
                  token_mask: Optional[jnp.ndarray] = None,
-                 fused: bool = False) -> Tuple[jnp.ndarray, StageState]:
-        return self.cell(self.pre(x, token_mask, fused), state)
+                 fused=False) -> Tuple[jnp.ndarray, StageState]:
+        """fused: False (XLA), True/"pair" (Pallas block pairs), or
+        "stage" (whole stage — pairs + ConvLSTM — in one kernel,
+        forward-only; falls back to "pair" under dws_conv)."""
+        if (fused == "stage" and not self.is_initializing()
+                and not self.cfg.lstm_dws_conv):
+            from ..ops.maxvit_pallas import fused_stage
+            x = self.down(x)
+            if self.enable_token_masking and token_mask is not None:
+                x = jnp.where(token_mask[..., None],
+                              self.mask_token.astype(x.dtype), x)
+            params = self.variables["params"]
+            c = self.cfg
+            h, cc = fused_stage(
+                x, state[0].astype(x.dtype), state[1].astype(x.dtype),
+                [(params[f"block{i}_window"], params[f"block{i}_grid"])
+                 for i in range(self.num_blocks)],
+                params["lstm"]["gates"], c.partition_size,
+                skip_first_norm=True, dim_head=c.dim_head, act=c.mlp_act,
+                gated=c.mlp_gated, eps=c.norm_eps)
+            return h, (h, cc)
+        return self.cell(self.pre(x, token_mask, bool(fused)), state)
 
 
 class RVTBackbone(nn.Module):
@@ -126,8 +146,11 @@ class RVTBackbone(nn.Module):
         features: BackboneFeatures = {}
         new_states: List[StageState] = []
         for k, stage in enumerate(self.stages):
+            f_k = fused
+            if fused == "stage1":           # whole-stage kernel, stage 1 only
+                f_k = "stage" if k == 0 else False
             x, st = stage(x, states[k], token_mask if k == 0 else None,
-                          fused)
+                          f_k)
             features[k + 1] = x
             new_states.append(st)
         return features, tuple(new_states)

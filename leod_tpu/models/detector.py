@@ -32,14 +32,18 @@ class Detector:
     B=16) but loses end-to-end (bench 4,620-4,719 vs 4,881 frames/s)
     because the pallas_call is a fusion barrier for XLA's cross-stage
     scheduling — so the default stays False (docs/benchmarks.md).
+    "stage" fuses the whole stage (pairs + ConvLSTM) so the barrier
+    lands on a stage boundary instead of splitting one.
     Training always takes the XLA path (the kernels define no VJP).
     """
 
     def __init__(self, cfg: ModelConfig, dtype=jnp.bfloat16,
-                 fused_inference: bool = False):
+                 fused_inference=False):
         self.cfg = cfg
         self.dtype = dtype
-        self.fused_inference = bool(fused_inference)
+        self.fused_inference = (fused_inference
+                                if isinstance(fused_inference, str)
+                                else bool(fused_inference))
         self.backbone = RVTBackbone(cfg.backbone, dtype=dtype)
         self.fpn = PAFPN(cfg.fpn, cfg.fpn_in_channels, dtype=dtype)
         self.head = YOLOXHead(cfg.head, cfg.fpn_in_channels, dtype=dtype)

@@ -30,6 +30,12 @@ def get_act(name: str) -> Callable:
 # MaxViT pieces
 # ---------------------------------------------------------------------------
 
+# experiment flag: route partition attention through the 6-D einsum form
+# (no materialized partition transposes); flipped by benchmarking only
+import os as _os
+_ATTN_6D = _os.environ.get("LEOD_ATTN_6D", "0") == "1"
+
+
 def window_partition(x: jnp.ndarray, wh: int, ww: int) -> jnp.ndarray:
     """[B, H, W, C] -> [B*nH*nW, wh*ww, C] (local windows)."""
     b, h, w, c = x.shape
@@ -61,23 +67,53 @@ def grid_reverse(x: jnp.ndarray, gh: int, gw: int, h: int, w: int) -> jnp.ndarra
 
 
 class SelfAttention(nn.Module):
-    """MHSA over token sequences [N, T, C] (reference: maxvit.py:328-354)."""
+    """MHSA (reference: maxvit.py:328-354).
+
+    Two input forms, same params:
+      * token sequences [N, T, C] (after window/grid partition), or
+      * the UNPARTITIONED 6-D view [B, a1, a2, a3, a4, C] with
+        `token_axes` naming which interleaved axes are tokens
+        ("window": (a2, a4) = in-window rows/cols; "grid": (a1, a3)).
+        The 6-D view is a FREE reshape of NHWC, so no partition
+        transpose is ever materialized — any relayout the MXU needs is
+        folded into the attention GEMMs by XLA (the explicit-partition
+        path spends ~15% of device time on those copies, trace r3)."""
     dim: int
     dim_head: int = 32
     use_bias: bool = True
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 token_axes: Optional[str] = None) -> jnp.ndarray:
         num_heads = self.dim // self.dim_head
         qkv = nn.Dense(self.dim * 3, use_bias=self.use_bias,
                        dtype=self.dtype, name="qkv")(x)
-        n, t, _ = qkv.shape
-        qkv = qkv.reshape(n, t, num_heads, 3 * self.dim_head)
-        q, k, v = jnp.split(qkv, 3, axis=-1)                   # [N,T,h,dh]
-        attn = jnp.einsum("nqhd,nkhd->nhqk", q, k) * self.dim_head ** -0.5
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
-        out = jnp.einsum("nhqk,nkhd->nqhd", attn, v).reshape(n, t, self.dim)
+        scale = self.dim_head ** -0.5
+        if token_axes is None:
+            n, t, _ = qkv.shape
+            qkv = qkv.reshape(n, t, num_heads, 3 * self.dim_head)
+            q, k, v = jnp.split(qkv, 3, axis=-1)               # [N,T,h,dh]
+            attn = jnp.einsum("nqhd,nkhd->nhqk", q, k) * scale
+            attn = jax.nn.softmax(attn.astype(jnp.float32),
+                                  axis=-1).astype(q.dtype)
+            out = jnp.einsum("nhqk,nkhd->nqhd", attn, v).reshape(
+                n, t, self.dim)
+        else:
+            qkv = qkv.reshape(qkv.shape[:-1] + (num_heads,
+                                                3 * self.dim_head))
+            q, k, v = jnp.split(qkv, 3, axis=-1)       # [b,a1,a2,a3,a4,h,d]
+            if token_axes == "window":
+                attn = jnp.einsum("bnpmqhd,bnPmQhd->bnmhpqPQ", q, k) * scale
+            else:
+                attn = jnp.einsum("bpnqmhd,bPnQmhd->bnmhpqPQ", q, k) * scale
+            attn = jax.nn.softmax(attn.astype(jnp.float32),
+                                  axis=(-2, -1)).astype(q.dtype)
+            if token_axes == "window":
+                out = jnp.einsum("bnmhpqPQ,bnPmQhd->bnpmqhd", attn, v)
+            else:
+                out = jnp.einsum("bnmhpqPQ,bPnQmhd->bpnqmhd", attn, v)
+            out = out.reshape(x.shape[:-1] + (self.dim,))
         return nn.Dense(self.dim, use_bias=self.use_bias,
                         dtype=self.dtype, name="proj")(out)
 
@@ -141,16 +177,22 @@ class PartitionAttention(nn.Module):
         shortcut = x
         y = x if self.skip_first_norm else nn.LayerNorm(
             epsilon=self.norm_eps, dtype=self.dtype, name="norm1")(x)
-        if self.partition_type == "window":
+        attn = SelfAttention(self.dim, self.dim_head, self.attention_bias,
+                             dtype=self.dtype, name="attn")
+        if _ATTN_6D:
+            # free 6-D view; the einsum path materializes no partition
+            # transposes (see SelfAttention docstring)
+            if self.partition_type == "window":
+                t = y.reshape(b, h // ph, ph, w // pw, pw, c)
+            else:
+                t = y.reshape(b, ph, h // ph, pw, w // pw, c)
+            y = attn(t, token_axes=self.partition_type).reshape(b, h, w, c)
+        elif self.partition_type == "window":
             t = window_partition(y, ph, pw)
+            y = window_reverse(attn(t), ph, pw, h, w)
         else:
             t = grid_partition(y, ph, pw)
-        t = SelfAttention(self.dim, self.dim_head, self.attention_bias,
-                          dtype=self.dtype, name="attn")(t)
-        if self.partition_type == "window":
-            y = window_reverse(t, ph, pw, h, w)
-        else:
-            y = grid_reverse(t, ph, pw, h, w)
+            y = grid_reverse(attn(t), ph, pw, h, w)
         x = shortcut + ls("ls1")(y)
 
         y = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype,

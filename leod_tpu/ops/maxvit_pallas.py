@@ -160,6 +160,97 @@ def _pair_kernel(x_ref, *refs, ph, pw, dim_head, skip_first_norm, act,
     out_ref[0] = x
 
 
+def _lstm_update(x, h_prev, c_prev, kx_ref, kh_ref, b_ref):
+    """Concat-free ConvLSTM gate update on one image [H, W, C] in VMEM
+    (models/layers.py ConvLSTMCell, dws_conv=False). Gate layout along
+    channels: [forget, input, output, cell_candidate]."""
+    hh, ww, c = x.shape
+    xf = x.reshape(hh * ww, c)
+    hf = h_prev.reshape(hh * ww, c).astype(x.dtype)
+    mix = (jax.lax.dot_general(xf, kx_ref[:], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+           + jax.lax.dot_general(hf, kh_ref[:], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+           + b_ref[0].astype(jnp.float32))
+    f = jax.nn.sigmoid(mix[:, :c])
+    i = jax.nn.sigmoid(mix[:, c:2 * c])
+    o = jax.nn.sigmoid(mix[:, 2 * c:3 * c])
+    g = jnp.tanh(mix[:, 3 * c:])
+    cn = f * c_prev.reshape(hh * ww, c).astype(jnp.float32) + i * g
+    hn = o * jnp.tanh(cn)
+    return (hn.astype(x.dtype).reshape(hh, ww, c),
+            cn.astype(c_prev.dtype).reshape(hh, ww, c))
+
+
+def _stage_kernel(x_ref, h_ref, c_ref, *refs, n_pairs, ph, pw, dim_head,
+                  skip_first_norm, act, gated, has_ls, eps):
+    n = len(_SLOTS)
+    out_h, out_c = refs[-2], refs[-1]
+    x = x_ref[0]
+    for i in range(n_pairs):
+        wrefs = dict(zip(_SLOTS, refs[2 * i * n:(2 * i + 1) * n]))
+        grefs = dict(zip(_SLOTS, refs[(2 * i + 1) * n:(2 * i + 2) * n]))
+        x = _apply_block(x, wrefs, kind="window", ph=ph, pw=pw,
+                         dim_head=dim_head,
+                         skip_first_norm=skip_first_norm and i == 0,
+                         act=act, gated=gated, has_ls=has_ls, eps=eps)
+        x = _apply_block(x, grefs, kind="grid", ph=ph, pw=pw,
+                         dim_head=dim_head, skip_first_norm=False,
+                         act=act, gated=gated, has_ls=has_ls, eps=eps)
+    kx_ref, kh_ref, b_ref = refs[2 * n_pairs * n:2 * n_pairs * n + 3]
+    hn, cn = _lstm_update(x, h_ref[0], c_ref[0], kx_ref, kh_ref, b_ref)
+    out_h[0] = hn
+    out_c[0] = cn
+
+
+def fused_stage(x: jnp.ndarray, h_prev: jnp.ndarray, c_prev: jnp.ndarray,
+                block_params: list, lstm_params: dict,
+                partition_size: Tuple[int, int], skip_first_norm: bool,
+                dim_head: int = 32, act: str = "gelu", gated: bool = False,
+                eps: float = 1e-5, interpret: bool = False):
+    """One WHOLE backbone stage minus the downsample conv — all
+    attention block pairs AND the ConvLSTM — in a single kernel, gridded
+    over batch (VERDICT r2 item 5b probe). The pair-only kernel loses
+    end-to-end because the pallas_call splits a stage in half for XLA's
+    scheduler; here the barrier lands on the stage boundary instead.
+
+    x/h_prev/c_prev: [B, H, W, C]; block_params: [(window_tree,
+    grid_tree), ...]; lstm_params: the ConvLSTMCell 'gates' subtree
+    (kernel [1, 1, 2C, 4C], bias [4C] — dws_conv unsupported).
+    Returns (h_new, c_new); the stage feature output IS h_new."""
+    b, hh, ww, c = x.shape
+    ph, pw = partition_size
+    assert hh % ph == 0 and ww % pw == 0, (hh, ww, ph, pw)
+    args = []
+    has_ls = None
+    for i, (wp, gp) in enumerate(block_params):
+        wargs, wls = _pack_block_args(wp, c, skip_first_norm and i == 0)
+        gargs, gls = _pack_block_args(gp, c, False)
+        assert wls == gls and (has_ls is None or has_ls == wls)
+        has_ls = wls
+        args += wargs + gargs
+    gk = jnp.asarray(lstm_params["kernel"])[0, 0]            # [2C, 4C]
+    args += [gk[:c], gk[c:], jnp.asarray(lstm_params["bias"]).reshape(1, -1)]
+
+    kernel = functools.partial(
+        _stage_kernel, n_pairs=len(block_params), ph=ph, pw=pw,
+        dim_head=dim_head, skip_first_norm=skip_first_norm, act=act,
+        gated=gated, has_ls=has_ls, eps=eps)
+    img = pl.BlockSpec((1, hh, ww, c), lambda i: (i, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, hh, ww, c), x.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[img, img, img] + [w_spec] * len(args),
+        out_specs=(img, img),
+        out_shape=(out_shape,
+                   jax.ShapeDtypeStruct((b, hh, ww, c), c_prev.dtype)),
+        interpret=interpret,
+    )(x, h_prev, c_prev, *args)
+
+
 def fused_block_pair(x: jnp.ndarray, window_params: dict, grid_params: dict,
                      partition_size: Tuple[int, int],
                      skip_first_norm: bool, dim_head: int = 32,

@@ -71,7 +71,8 @@ def run_tta_eval(det: Detector, variables, cfg: ExperimentConfig,
                  batch_size: Optional[int] = None,
                  conf_threshold: Optional[float] = None,
                  frames_per_slot: Optional[int] = None,
-                 shard_index: int = 0, num_shards: int = 1,
+                 shard_index: Optional[int] = None,
+                 num_shards: Optional[int] = None,
                  evaluator: Optional[PropheseeEvaluator] = None
                  ) -> Optional[Dict[str, float]]:
     """shard_index/num_shards: deterministic sequence sharding (same
@@ -79,7 +80,20 @@ def run_tta_eval(det: Detector, variables, cfg: ExperimentConfig,
     and PropheseeEvaluator.merge the buffers before evaluating — the
     union of shards equals a full run (tests/test_selftrain_shard.py).
     The t-flip pass reuses the identical deal, so each shard sees both
-    views of exactly its own sequences."""
+    views of exactly its own sequences. Defaults: under multi-process
+    each process evaluates its own shard and the buffers are
+    all-gathered before the COCO eval, exactly like run_streaming_eval."""
+    from ..parallel.distributed import allgather_evaluator, process_shard
+
+    if shard_index is None and num_shards is None:
+        shard_index, num_shards = process_shard()
+        sync_metrics = True
+    else:
+        shard_index, num_shards = shard_index or 0, num_shards or 1
+        sync_metrics = False
+    if jax.process_count() > 1:
+        # postprocess results are read back with numpy per shard
+        variables = jax.tree.map(np.asarray, variables)
     dst = cfg.dataset
     pp = cfg.model.postprocess
     if conf_threshold is not None:
@@ -176,4 +190,6 @@ def run_tta_eval(det: Detector, variables, cfg: ExperimentConfig,
                                             merged if len(merged) else None)
             evaluator.add_labels([gt_p])
             evaluator.add_predictions([dt_p])
+    if sync_metrics:
+        allgather_evaluator(evaluator)
     return evaluator.evaluate()

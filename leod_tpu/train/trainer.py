@@ -70,18 +70,49 @@ def default_frames_per_slot(seq_len: int, use_label_every: int = 1) -> int:
 
 
 class MetricLogger:
-    """JSONL + stdout metrics. Multi-host: only process 0 writes
-    (losses/metrics are replicated, so every rank would log identical
-    records — reference logs on rank 0 via Lightning)."""
+    """JSONL + stdout metrics with pluggable remote sinks. Multi-host:
+    only process 0 writes (losses/metrics are replicated, so every rank
+    would log identical records — reference logs on rank 0 via
+    Lightning).
+
+    The reference's remote sink is WandB (loggers/utils.py:5-24); this
+    environment has no network, so JSONL is the default and remote
+    backends attach through `add_sink(fn)` — each sink is called with
+    the plain-float record dict per log call. `wandb_sink()` builds the
+    WandB adapter when the package is available."""
 
     def __init__(self, path: Optional[str]):
         self.path = path
         self._primary = jax.process_index() == 0
+        self._sinks: list = []
         if path and self._primary:
             os.makedirs(os.path.dirname(path), exist_ok=True)
             self._f = open(path, "a")
         else:
             self._f = None
+
+    def add_sink(self, sink) -> "MetricLogger":
+        """Register a callable(record: dict) sink; called on process 0
+        only, after JSON-float conversion. Sink exceptions are reported
+        but never break training."""
+        self._sinks.append(sink)
+        return self
+
+    @staticmethod
+    def wandb_sink(project: str, run_name: Optional[str] = None,
+                   config: Optional[Dict[str, Any]] = None):
+        """WandB adapter (reference: loggers/utils.py:5-24). Raises
+        ImportError when wandb is not installed."""
+        import wandb
+
+        run = wandb.init(project=project, name=run_name, config=config,
+                         resume="allow")
+
+        def sink(record: Dict[str, Any]):
+            step = record.get("step")
+            run.log({k: v for k, v in record.items() if k != "step"},
+                    step=int(step) if step is not None else None)
+        return sink
 
     def log(self, record: Dict[str, Any]):
         if not self._primary:
@@ -94,6 +125,11 @@ class MetricLogger:
             self._f.write(line + "\n")
             self._f.flush()
         print(line, flush=True)
+        for sink in self._sinks:
+            try:
+                sink(rec)
+            except Exception as e:               # pragma: no cover
+                print(f"metric sink error ({sink}): {e}", flush=True)
 
 
 def run_streaming_eval(det: Detector, variables, cfg: ExperimentConfig,

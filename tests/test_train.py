@@ -122,6 +122,23 @@ def test_remat_policies_equivalent():
         np.testing.assert_allclose(v, ref, rtol=1e-5, err_msg=k)
 
 
+def test_metric_logger_sinks(tmp_path):
+    """Pluggable remote sinks (the reference's WandB slot,
+    loggers/utils.py:5-24): registered callables receive each
+    float-converted record; a raising sink never breaks logging."""
+    from leod_tpu.train.trainer import MetricLogger
+
+    lg = MetricLogger(str(tmp_path / "m.jsonl"))
+    got = []
+    lg.add_sink(got.append)
+    lg.add_sink(lambda r: 1 / 0)               # broken sink
+    lg.log({"step": 1, "loss": np.float32(2.5)})
+    lg.log({"step": 2, "loss": 1.0})
+    assert got == [{"step": 1, "loss": 2.5}, {"step": 2, "loss": 1.0}]
+    with open(lg.path) as f:
+        assert len(f.readlines()) == 2         # JSONL unaffected
+
+
 def test_restore_latest_falls_back_on_corrupt_payload(exp_cfg, tmp_path):
     """A checkpoint whose PAYLOAD is corrupted (metadata still readable)
     must not win auto-resume: restore_latest try-restores and falls back

@@ -14,11 +14,16 @@ from ..config import TrainingConfig
 
 def onecycle_linear(max_lr: float, total_steps: int, pct_start: float,
                     div_factor: float, final_div_factor: float):
-    warmup = max(int(total_steps * pct_start), 1)
+    """Pointwise-exact torch OneCycleLR(anneal='linear') with the
+    reference's final_div reinterpretation (detection.py:499-501):
+    peak at step pct_start*total - 1, min max_lr/final_div at the LAST
+    step (torch interpolates to total_steps - 1; verified against torch
+    in tests/test_optim_parity.py)."""
+    warmup = max(round(total_steps * pct_start) - 1, 1)
     return optax.join_schedules([
         optax.linear_schedule(max_lr / div_factor, max_lr, warmup),
         optax.linear_schedule(max_lr, max_lr / final_div_factor,
-                              max(total_steps - warmup, 1)),
+                              max(total_steps - 1 - warmup, 1)),
     ], [warmup])
 
 

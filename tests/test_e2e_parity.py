@@ -75,3 +75,63 @@ def test_train_trajectory_and_eval_stack_parity(setup):
     m_jax = ep.jax_streaming_eval(det, vars_t, cfg)
     for k in ep.AP_KEYS:
         assert m_jax[k] == pytest.approx(m_ref[k], abs=1e-3), k
+
+
+@pytest.mark.slow
+def test_eval_stack_parity_gen4_flavor(tmp_path):
+    """gen4-flavor eval-stack parity: 3 classes + downsample_by_factor_2
+    (labels on disk at FULL resolution, ev frames at half; eval filters
+    halved — reference io/box_filtering.py:18-36) + tflip_offset -2.
+    Identical converted weights through the reference eval transcription
+    and run_streaming_eval must give identical per-class AP."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from leod_tpu.config import (AugmentConfig, BackboneConfig,
+                                 ExperimentConfig, HeadConfig, ModelConfig,
+                                 TrainingConfig, ZoomConfig, dataset_preset)
+    from leod_tpu.convert import convert_torch_state_dict
+    from leod_tpu.data.synthetic import generate_dataset
+    from leod_tpu.models.detector import Detector
+
+    from ref_shim import import_reference_detector, reference_model_config
+
+    root = str(tmp_path / "g4")
+    # full res 128x128, ev frames stored at 64x64 (_ds2_nearest layout)
+    generate_dataset(root, num_train=0, num_val=3, num_test=0,
+                     num_reprs=24, label_every=4, first_label_repr=3,
+                     hw=(128, 128), ds2=True, num_classes=3)
+    no_aug = AugmentConfig(prob_hflip=0.0, prob_tflip=0.0, rotate_prob=0.0,
+                           zoom=ZoomConfig(prob=0.0))
+    dst = dataclasses.replace(
+        dataset_preset("gen4"), path=root, resolution_hw=(128, 128),
+        sequence_length=4, augment_stream=no_aug, augment_random=no_aug)
+    assert dst.downsample_by_factor_2 and dst.tflip_offset == -2
+    model = ModelConfig(
+        backbone=BackboneConfig(embed_dim=32, in_res_hw=(64, 64),
+                                partition_size=(2, 2)),
+        head=HeadConfig(num_classes=3, max_gt=8))
+    cfg = ExperimentConfig(dataset=dst, model=model,
+                           training=TrainingConfig(batch_size_eval=3),
+                           save_dir=root, exp_name="g4")
+
+    RefDet = import_reference_detector()
+    ref = RefDet(reference_model_config(num_classes=3,
+                                        partition_size=(2, 2)))
+    g = torch.Generator().manual_seed(5)
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.add_(torch.randn(p.shape, generator=g) * 0.05)
+    variables = jax.device_put(convert_torch_state_dict(
+        {k: v.numpy() for k, v in ref.state_dict().items()}))
+    det = Detector(cfg.model, dtype=jnp.float32)
+
+    # high-ish conf so a random-init model yields a modest, stable set
+    m_ref = ep.ref_streaming_eval(ref, cfg, conf=0.01, batch_size=3)
+    m_jax = ep.jax_streaming_eval(det, variables, cfg, conf=0.01)
+    for k in ("AP", "AP_50", "AP_75", "AP_pedestrian", "AP_two-wheeler",
+              "AP_car"):
+        assert m_jax[k] == pytest.approx(m_ref[k], abs=1e-3), k

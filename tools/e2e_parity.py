@@ -126,7 +126,7 @@ def _reset_torch_states(states, is_first: np.ndarray):
 def _harvest_torch(batch, feats, t, sel: dict, labels_rows: list):
     """BackboneFeatureSelector semantics (reference: modules/utils/
     detection.py:27-58): t-major, b-inner collection of labeled frames."""
-    for b in range(B):
+    for b in range(len(batch["labels"][t])):
         lab = batch["labels"][t][b]
         if lab is not None and len(lab) > 0:
             for s, f in feats.items():
@@ -134,8 +134,8 @@ def _harvest_torch(batch, feats, t, sel: dict, labels_rows: list):
             labels_rows.append(lab)
 
 
-def ref_streaming_eval(ref, cfg, split: str = "val",
-                       conf: float = 0.001) -> dict:
+def ref_streaming_eval(ref, cfg, split: str = "val", conf: float = 0.001,
+                       batch_size: int = B) -> dict:
     """Reference streaming eval transcription
     (modules/detection.py:300-401, val.py conf 0.001): slot-keyed RNN
     states, per-timestep backbone, ragged harvest, batched detect, the
@@ -147,8 +147,9 @@ def ref_streaming_eval(ref, cfg, split: str = "val",
     from leod_tpu.eval.prophesee import PropheseeEvaluator, boxes_to_prophesee
 
     dst = cfg.dataset
+    n_cls = cfg.model.head.num_classes
     seqs = open_split_sequences(dst, split)
-    loader = EvalStreamLoader(seqs, dst, B)
+    loader = EvalStreamLoader(seqs, dst, min(batch_size, len(seqs)))
     evaluator = PropheseeEvaluator(dst.name, dst.downsample_by_factor_2)
     ref.eval()
     states = None
@@ -157,7 +158,7 @@ def ref_streaming_eval(ref, cfg, split: str = "val",
             states = _reset_torch_states(states, batch["is_first"])
             sel: dict = {}
             labels_rows: list = []
-            for t in range(L):
+            for t in range(dst.sequence_length):
                 x = torch.from_numpy(
                     batch["ev"][t].astype(np.float32))     # [B, C, H, W]
                 feats, states = ref.forward_backbone(x, states)
@@ -166,7 +167,7 @@ def ref_streaming_eval(ref, cfg, split: str = "val",
                 continue
             batched = {s: torch.stack(v) for s, v in sel.items()}
             preds, _ = ref.forward_detect(batched)
-            dets = postprocess(preds, num_classes=2, conf_thre=conf,
+            dets = postprocess(preds, num_classes=n_cls, conf_thre=conf,
                                nms_thre=cfg.model.postprocess.nms_threshold)
             for i, lab in enumerate(labels_rows):
                 d = dets[i].numpy() if dets[i] is not None else None

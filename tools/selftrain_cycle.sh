@@ -1,0 +1,64 @@
+#!/usr/bin/env bash
+# End-to-end LEOD self-training cycle on synthetic Gen1-format data
+# (reference workflow: docs/benchmark.md:58-141 — WSOD teacher ->
+# pseudo-label generation with TTA + tracking -> soft student ->
+# evaluation). Runs on the TPU by default (~40 min); CYCLE_CPU=1 forces
+# CPU. Exercises the SHARDED pseudo-generation CLI path (2 sequential
+# shards into one save dir) and scores the merged dataset once.
+#
+# Usage: bash tools/selftrain_cycle.sh [workdir]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+WORK=${1:-/tmp/st_cycle_r3}
+STEPS_TEACHER=${STEPS_TEACHER:-300}
+STEPS_STUDENT=${STEPS_STUDENT:-300}
+CPU_FLAG=${CYCLE_CPU:+--cpu}
+rm -rf "$WORK"; mkdir -p "$WORK"
+
+echo "== 0. synthetic dataset =="
+python - "$WORK/data" <<'EOF'
+import sys
+from leod_tpu.data.synthetic import generate_dataset
+generate_dataset(sys.argv[1], num_train=6, num_val=4, num_test=0,
+                 num_reprs=64, label_every=4, first_label_repr=11)
+print("dataset at", sys.argv[1])
+EOF
+
+echo "== 1. WSOD teacher (25% labels, $STEPS_TEACHER steps) =="
+python cli/train.py --dataset gen1 --size tiny --path "$WORK/data" \
+    --ratio 0.25 --steps "$STEPS_TEACHER" --batch-size 4 --seq-len 8 \
+    --save-dir "$WORK/runs" --exp-name teacher --val-every 0 $CPU_FLAG
+
+echo "== 2. teacher eval =="
+python cli/val.py --dataset gen1 --size tiny --path "$WORK/data" \
+    --seq-len 8 --ckpt "$WORK/runs/teacher/ckpt_last" $CPU_FLAG \
+    | tee "$WORK/teacher_eval.json"
+
+echo "== 3. pseudo-label generation (2 shards, hflip TTA) =="
+for SHARD in 0 1; do
+  python cli/predict.py --dataset gen1 --size tiny --path "$WORK/data" \
+      --ratio 0.25 --ckpt "$WORK/runs/teacher/ckpt_last" \
+      --save-dir "$WORK/pseudo" --seq-len 8 --batch-size 3 \
+      --tta-hflip --obj-thresh 0.3 0.15 --cls-thresh 0.3 0.15 \
+      --min-track-len 3 --conf 0.05 \
+      --shard-index "$SHARD" --num-shards 2 $CPU_FLAG
+done
+
+echo "== 4. score merged pseudo dataset vs withheld GT =="
+python cli/val_dst.py --dataset gen1 --path "$WORK/pseudo" \
+    --orig-path "$WORK/data" --ratio 0.25 --verify --seq-len 8 \
+    | tee "$WORK/pseudo_score.json"
+
+echo "== 5. soft student on the pseudo dataset =="
+python cli/train.py --dataset gen1 --size tiny --path "$WORK/pseudo" \
+    --soft --weight "$WORK/runs/teacher/ckpt_last" \
+    --steps "$STEPS_STUDENT" --batch-size 4 --seq-len 8 --lr 5e-4 \
+    --save-dir "$WORK/runs" --exp-name student --val-every 0 $CPU_FLAG
+
+echo "== 6. student eval =="
+python cli/val.py --dataset gen1 --size tiny --path "$WORK/data" \
+    --seq-len 8 --ckpt "$WORK/runs/student/ckpt_last" $CPU_FLAG \
+    | tee "$WORK/student_eval.json"
+
+echo "cycle complete: teacher/student eval JSON + pseudo score in $WORK"

@@ -30,22 +30,27 @@ B = 2
 
 def _labels() -> np.ndarray:
     """[B, G, 7] cls, cx, cy, w, h, obj_conf, cls_conf — well-separated
-    boxes so the SimOTA assignment has no cost ties."""
+    boxes so the SimOTA assignment has no cost ties. The 0.6/0.7 and
+    0.8/0.9 confidences sit below an ignore_bbox_thresh of 0.65/0.95 so
+    the ignore-path cases exercise real ignore regions."""
     lab = np.zeros((B, 8, 7), np.float32)
     lab[0, 0] = [0, 24.0, 20.0, 20.0, 16.0, 1.0, 1.0]
     lab[0, 1] = [1, 72.0, 44.0, 28.0, 24.0, 0.8, 0.9]
     lab[1, 0] = [1, 48.0, 32.0, 36.0, 30.0, 0.6, 0.7]
+    lab[1, 1] = [0, 20.0, 48.0, 22.0, 18.0, 0.9, 0.95]
     return lab
 
 
 def _setup(use_l1: bool, weighting: str, focal: bool = False,
-           ignore_bg_k: float = 0.0):
+           ignore_bg_k: float = 0.0, ignore_thresh=None):
     RefDet = import_reference_detector()
     # obj_focal_loss selects obj_loss_fn at construction
     # (yolo_head.py:150-151), so it must ride the config
     ref = RefDet(reference_model_config(
         head_kwargs={"obj_focal_loss": focal,
-                     "ignore_bg_k": ignore_bg_k if ignore_bg_k > 0 else -1}))
+                     "ignore_bg_k": ignore_bg_k if ignore_bg_k > 0 else -1,
+                     "ignore_bbox_thresh": list(ignore_thresh)
+                     if ignore_thresh else None}))
     g = torch.Generator().manual_seed(3)
     with torch.no_grad():
         for p in ref.parameters():
@@ -60,7 +65,8 @@ def _setup(use_l1: bool, weighting: str, focal: bool = False,
                                 partition_size=(2, 3)),
         head=HeadConfig(num_classes=2, use_l1=use_l1,
                         bbox_loss_weighting=weighting,
-                        obj_focal_loss=focal, ignore_bg_k=ignore_bg_k))
+                        obj_focal_loss=focal, ignore_bg_k=ignore_bg_k,
+                        ignore_bbox_thresh=ignore_thresh))
     det = Detector(cfg, dtype=jnp.float32)
     return ref, det, variables
 
@@ -122,21 +128,29 @@ def _reference_losses(ref, x: np.ndarray, labels: np.ndarray,
 # the 1-D [num_fg] weights (missing the [:, None] the cls path has) and
 # crashes — a second latent bug in the never-enabled branch. We follow
 # the evident intent (per-anchor weight across the 4 components).
-@pytest.mark.parametrize("use_l1,weighting,focal,bg_k", [
-    (False, "", False, 0.0),
-    (True, "", False, 0.0),
-    (False, "obj", False, 0.0),
-    (False, "objxcls-w**2", False, 0.0),
+@pytest.mark.parametrize("use_l1,weighting,focal,bg_k,ign", [
+    (False, "", False, 0.0, None),
+    (True, "", False, 0.0, None),
+    (False, "obj", False, 0.0, None),
+    (False, "objxcls-w**2", False, 0.0, None),
     # obj focal loss (yolo_head.py:150-151 + torchvision focal semantics)
-    (False, "", True, 0.0),
+    (False, "", True, 0.0, None),
     # top-k% background ignore on the obj loss (yolo_head.py:334-356,
     # 539-541, 565-568): per image, the int(num_bg * k) highest-scoring
     # bg anchors drop out of the objectness BCE
-    (False, "", False, 0.1),
-    (False, "obj", True, 0.05),       # combined knobs
+    (False, "", False, 0.1, None),
+    (False, "obj", True, 0.05, None),       # combined knobs
+    # IGNORE-PATH loss assembly (get_losses_w_ignore, yolo_head.py:
+    # 776-972): low-conf boxes become class-1024 ignore regions whose
+    # covered anchors drop out of the objectness loss. This exercises
+    # the full ignore path end to end (the SimOTA oracle only covers
+    # the assignment), soft-student territory (rnndet-soft).
+    (False, "", False, 0.0, (0.65, 0.95)),
+    (False, "obj", False, 0.0, (0.65, 0.95)),
+    (True, "", False, 0.0, (0.65, 0.95)),
 ])
-def test_train_loss_parity(use_l1, weighting, focal, bg_k):
-    ref, det, variables = _setup(use_l1, weighting, focal, bg_k)
+def test_train_loss_parity(use_l1, weighting, focal, bg_k, ign):
+    ref, det, variables = _setup(use_l1, weighting, focal, bg_k, ign)
     rng = np.random.default_rng(7)
     x = (rng.normal(size=(B, 20, H, W)) * 3).astype(np.float32)
     labels = _labels()

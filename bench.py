@@ -153,26 +153,41 @@ def _throughput(cfg, det, variables, B: int, L: int, iters: int) -> float:
 
 
 def _bench_dataset(dataset: str, iters: int, latency: bool,
-                   train: bool) -> dict:
+                   train: bool, use_env_workload: bool = True) -> dict:
     """All per-dataset numbers: throughput (+ optional b1 latency
-    mean/p50/p99 and train-step throughput)."""
+    mean/p50/p99 and train-step throughput).
+
+    use_env_workload=False pins the reference workload (ride-along gen4
+    run): BENCH_BATCH/BENCH_SEQ_LEN/BENCH_SIZE overrides meant for the
+    primary dataset must not silently change the gen4 fields the driver
+    compares round over round."""
     import jax
     import jax.numpy as jnp
 
     from leod_tpu.config import experiment_preset
     from leod_tpu.models.detector import Detector
 
-    cfg = experiment_preset(dataset, os.environ.get("BENCH_SIZE", "base"))
-    det = Detector(cfg.model, dtype=jnp.bfloat16,
-                   fused_inference={"0": False, "1": True}.get(
-                       os.environ.get("BENCH_FUSED", "0"),
-                       os.environ.get("BENCH_FUSED")))
+    fused_env = os.environ.get("BENCH_FUSED", "0")
+    fused = {"0": False, "1": True, "stage": "stage",
+             "stage1": "stage1"}.get(fused_env)
+    if fused is None:
+        raise SystemExit(f"BENCH_FUSED={fused_env!r}: expected 0|1|stage|"
+                         f"stage1")
+    size = os.environ.get("BENCH_SIZE", "base") if use_env_workload \
+        else "base"
+    cfg = experiment_preset(dataset, size)
+    det = Detector(cfg.model, dtype=jnp.bfloat16, fused_inference=fused)
     variables = det.init(jax.random.PRNGKey(0), batch_size=1)
 
     # gen4 defaults mirror the reference workload (bs 8, L=5, reference
     # docs/benchmark.md:16); gen1 (bs 16, L=21) is the headline config
-    B = int(os.environ.get("BENCH_BATCH", "16" if dataset == "gen1" else "8"))
-    L = int(os.environ.get("BENCH_SEQ_LEN", "21" if dataset == "gen1" else "5"))
+    B_def = "16" if dataset == "gen1" else "8"
+    L_def = "21" if dataset == "gen1" else "5"
+    if use_env_workload:
+        B = int(os.environ.get("BENCH_BATCH", B_def))
+        L = int(os.environ.get("BENCH_SEQ_LEN", L_def))
+    else:
+        B, L = int(B_def), int(L_def)
     out = {"frames_per_s": round(
         _throughput(cfg, det, variables, B, L, iters), 2)}
     if latency:
@@ -215,7 +230,8 @@ def main():
         # 1Mpx numbers ride along in the same artifact so gen4
         # regressions are driver-visible round over round
         try:
-            g4 = _bench_dataset("gen4", iters, latency, train)
+            g4 = _bench_dataset("gen4", iters, latency, train,
+                                use_env_workload=False)
             record.update({f"gen4_{k}": v for k, v in g4.items()})
         except Exception as e:                      # pragma: no cover
             record["gen4_error"] = f"{type(e).__name__}: {e}"

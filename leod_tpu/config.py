@@ -261,11 +261,11 @@ def stem_fold_hw(model: "ModelConfig") -> Tuple[int, int]:
     stem also accepts the BOTH-axis fold [B, H/4, W/4, 16*C] (a 2x2
     stride-1 conv with all 128 lanes busy); the H fold is a transpose,
     which host loaders fold into the copy they already materialize
-    (harvest_frames). H-fold disabled under enable_masking: the mask
-    token replaces RAW-layout pixels before the stem."""
+    (harvest_frames). Masking does not constrain the fold: the mask
+    token applies to stage-1 FEATURES after the stem (backbone.py
+    RVTStage.pre), whose shape is layout-independent."""
     w = stem_width_fold(model)
-    h = 4 if (w == 4 and model.backbone.in_res_hw[0] % 4 == 0
-              and not model.backbone.enable_masking) else 1
+    h = 4 if (w == 4 and model.backbone.in_res_hw[0] % 4 == 0) else 1
     return h, w
 
 

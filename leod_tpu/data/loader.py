@@ -358,17 +358,15 @@ def harvest_frames(batch: dict, frames_per_slot: int, max_gt: int,
     if (h, w) != pad_hw:
         ev = np.pad(ev, ((0, 0), (0, 0), (0, pad_hw[0] - h),
                          (0, pad_hw[1] - w), (0, 0)))
-    if fold_w > 1:
+    if fold_h > 1:
+        assert fold_w == fold_h == 4 and pad_hw[0] % 4 == 0 \
+            and pad_hw[1] % 4 == 0, (pad_hw, fold_h, fold_w)
+        from ..models.layers import fold_ev_hw   # single fold-layout source
+        ev = fold_ev_hw(ev)
+    elif fold_w > 1:
         assert pad_hw[1] % fold_w == 0, (pad_hw, fold_w)
         ev = ev.reshape(L, B, pad_hw[0], pad_hw[1] // fold_w,
                         fold_w * ev.shape[-1])
-    if fold_h > 1:
-        assert fold_w == fold_h == 4 and pad_hw[0] % 4 == 0, (pad_hw,
-                                                              fold_h, fold_w)
-        ev = ev.reshape(L, B, pad_hw[0] // 4, 4, ev.shape[-2], ev.shape[-1])
-        ev = np.moveaxis(ev, 3, 4)
-        ev = ev.reshape(L, B, pad_hw[0] // 4, pad_hw[1] // 4,
-                        16 * (ev.shape[-1] // 4))
 
     M = frames_per_slot
     t_idx = np.zeros((B, M), np.int32)

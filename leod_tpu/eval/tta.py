@@ -78,7 +78,9 @@ def run_tta_eval(det: Detector, variables, cfg: ExperimentConfig,
     """shard_index/num_shards: deterministic sequence sharding (same
     pyramid deal as run_streaming_eval); pass one `evaluator` per shard
     and PropheseeEvaluator.merge the buffers before evaluating — the
-    union of shards equals a full run (tests/test_selftrain_shard.py).
+    union of shards equals a full run (tests/test_selftrain_shard.py);
+    with an external evaluator the return value is None (the caller
+    evaluates the merged buffers once).
     The t-flip pass reuses the identical deal, so each shard sees both
     views of exactly its own sequences. Defaults: under multi-process
     each process evaluates its own shard and the buffers are
@@ -92,8 +94,11 @@ def run_tta_eval(det: Detector, variables, cfg: ExperimentConfig,
         shard_index, num_shards = shard_index or 0, num_shards or 1
         sync_metrics = False
     if jax.process_count() > 1:
-        # postprocess results are read back with numpy per shard
-        variables = jax.tree.map(np.asarray, variables)
+        # postprocess results are read back with numpy per shard, so the
+        # weights must be host-local — but re-feed them to jit as a
+        # DEVICE tree (a numpy tree would re-upload the full model every
+        # batch through the tunnel)
+        variables = jax.device_put(jax.tree.map(np.asarray, variables))
     dst = cfg.dataset
     pp = cfg.model.postprocess
     if conf_threshold is not None:
@@ -174,7 +179,8 @@ def run_tta_eval(det: Detector, variables, cfg: ExperimentConfig,
         for s in seqs:
             s.close()
 
-    if evaluator is None:
+    external = evaluator is not None
+    if not external:
         evaluator = PropheseeEvaluator(dst.name, dst.downsample_by_factor_2)
     for path, rec in results.items():
         # a truncated normal pass must fail loudly, not silently evaluate
@@ -192,4 +198,9 @@ def run_tta_eval(det: Detector, variables, cfg: ExperimentConfig,
             evaluator.add_predictions([dt_p])
     if sync_metrics:
         allgather_evaluator(evaluator)
+    if external:
+        # the caller merges shard evaluators and evaluates ONCE; a
+        # per-shard evaluate() would be both wasted work and a
+        # statistically meaningless partial metric
+        return None
     return evaluator.evaluate()

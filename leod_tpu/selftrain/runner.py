@@ -179,10 +179,26 @@ class PseudoLabelRunner:
 
     # -- full run ---------------------------------------------------------------
     def run(self) -> Dict[str, float]:
+        train_dir = os.path.join(self.save_dir, "train")
         if self.num_shards == 1:
-            assert not os.path.exists(os.path.join(self.save_dir, "train")), \
-                f"{self.save_dir}/train already exists"
-        os.makedirs(os.path.join(self.save_dir, "train"), exist_ok=True)
+            assert not os.path.exists(train_dir), \
+                f"{train_dir} already exists"
+        elif os.path.isdir(train_dir):
+            # shards share save_dir, so the dir may legitimately hold the
+            # OTHER shards' output — but never sequences outside this
+            # run's deterministic deal (a stale previous run would
+            # silently mix teachers). Per-sequence collisions within the
+            # deal still fail fast in SequenceRecorder.save (mkdir
+            # exist_ok=False).
+            from ..data.sequence import list_sequence_dirs
+            expected = {os.path.basename(d.rstrip("/"))
+                        for d in list_sequence_dirs(
+                            self.cfg.dataset.path, "train")}
+            stale = set(os.listdir(train_dir)) - expected
+            assert not stale, (
+                f"{train_dir} contains sequences from a previous run: "
+                f"{sorted(stale)[:5]}")
+        os.makedirs(train_dir, exist_ok=True)
         self._run_pass(time_flip=False)
         if self.pl.tta_tflip:
             self._run_pass(time_flip=True)

@@ -165,8 +165,14 @@ def run_streaming_eval(det: Detector, variables, cfg: ExperimentConfig,
         # results are read back with numpy, which a global multi-host
         # array does not allow. Run on this process's local devices and
         # pull the (replicated) weights to host first.
+        # host-local weights (postprocess reads results back with numpy,
+        # which a global multi-host array does not allow), re-placed on
+        # device ONCE — feeding jit a numpy tree would re-upload the
+        # full model every batch through the tunnel
         variables = jax.tree.map(np.asarray, variables)
-        if mesh is not None:
+        if mesh is None:
+            variables = jax.device_put(variables)
+        else:
             from ..parallel.mesh import local_mesh
             mesh = local_mesh(mesh)
 
@@ -310,7 +316,10 @@ class Trainer:
         payload = {"params": state.variables["params"],
                    "batch_stats": state.variables["batch_stats"],
                    "opt_state": state.opt_state,
-                   "step": state.step}
+                   "step": state.step,
+                   # top-2 retention state rides along so an auto-resume
+                   # does not clobber ckpt_best with a worse model
+                   "best_aps": np.asarray(self._best_aps, np.float64)}
         if jax.process_count() > 1:
             # every saved leaf is replicated, so each rank's host copy is
             # the whole checkpoint; saving numpy avoids the distributed
@@ -384,11 +393,15 @@ class Trainer:
         return state._replace(variables=variables)
 
     def restore_checkpoint(self, path: str, state: TrainState) -> TrainState:
-        """Full resume: weights + optimizer + step.
+        """Full resume: weights + optimizer + step + best-AP retention
+        state (so post-resume evals compete against the pre-preemption
+        best instead of overwriting ckpt_best unconditionally).
 
         Restores the optimizer state against the live optax pytree
         structure (orbax round-trips namedtuples as plain dicts)."""
         restored = load_checkpoint(path)
+        if "best_aps" in restored:          # absent in older checkpoints
+            self._best_aps = [float(v) for v in restored["best_aps"]]
         opt_state = jax.tree.unflatten(
             jax.tree.structure(state.opt_state),
             jax.tree.leaves(restored["opt_state"]))

@@ -110,7 +110,8 @@ def test_tta_eval_shard_union(setup):
         m = run_tta_eval(det, variables, cfg, split="val", hflip=True,
                          tflip=True, batch_size=2,
                          shard_index=si, num_shards=2, evaluator=ev)
-        assert m is not None          # each shard got >= 1 sequence
+        assert m is None              # external evaluator: caller merges
+        assert ev.has_data()          # each shard got >= 1 sequence
         evs.append(ev)
     merged = evs[0].merge(evs[1]).evaluate()
     assert full is not None and merged is not None

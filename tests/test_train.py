@@ -200,6 +200,19 @@ def test_best_checkpoint_top2_retention(exp_cfg, tmp_path):
     assert step_of("best") == 2 and step_of("best2") == 3
     assert trainer._best_aps == [0.7, 0.6]
 
+    # retention state survives a preemption resume: a fresh Trainer that
+    # restores ckpt_last must not let a WORSE post-resume AP clobber
+    # ckpt_best
+    trainer.save_checkpoint(base._replace(step=jnp.asarray(9, jnp.int32)),
+                            "last")
+    t2 = Trainer(cfg, dtype=jnp.float32)
+    assert t2._best_aps == [-1.0, -1.0]
+    st, path = t2.restore_latest(t2.init_state(cfg.training.batch_size_train))
+    assert path.endswith("ckpt_last")
+    assert t2._best_aps == [0.7, 0.6]
+    t2._save_best(0.5, base._replace(step=jnp.asarray(10, jnp.int32)))
+    assert step_of("best") == 2 and step_of("best2") == 3   # unchanged
+
 
 def test_eval_budget_autogrow(exp_cfg):
     """run_streaming_eval must never drop labeled frames: an undersized

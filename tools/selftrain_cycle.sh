@@ -31,7 +31,7 @@ python cli/train.py --dataset gen1 --size tiny --path "$WORK/data" \
     --save-dir "$WORK/runs" --exp-name teacher --val-every 0 $CPU_FLAG
 
 echo "== 2. teacher eval =="
-python cli/val.py --dataset gen1 --size tiny --path "$WORK/data" \
+python cli/val.py --dataset gen1 --size tiny --path "$WORK/data" --split val \
     --seq-len 8 --ckpt "$WORK/runs/teacher/ckpt_last" $CPU_FLAG \
     | tee "$WORK/teacher_eval.json"
 
@@ -47,7 +47,7 @@ done
 
 echo "== 4. score merged pseudo dataset vs withheld GT =="
 python cli/val_dst.py --dataset gen1 --path "$WORK/pseudo" \
-    --orig-path "$WORK/data" --ratio 0.25 --verify --seq-len 8 \
+    --orig-path "$WORK/data" --ratio 0.25 --verify \
     | tee "$WORK/pseudo_score.json"
 
 echo "== 5. soft student on the pseudo dataset =="
@@ -57,7 +57,7 @@ python cli/train.py --dataset gen1 --size tiny --path "$WORK/pseudo" \
     --save-dir "$WORK/runs" --exp-name student --val-every 0 $CPU_FLAG
 
 echo "== 6. student eval =="
-python cli/val.py --dataset gen1 --size tiny --path "$WORK/data" \
+python cli/val.py --dataset gen1 --size tiny --path "$WORK/data" --split val \
     --seq-len 8 --ckpt "$WORK/runs/student/ckpt_last" $CPU_FLAG \
     | tee "$WORK/student_eval.json"
 

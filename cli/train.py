@@ -52,6 +52,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--wandb-project", default=None,
+                    help="also stream metrics to WandB (requires the "
+                         "wandb package; reference: loggers/utils.py)")
     args = ap.parse_args()
 
     import jax
@@ -108,6 +111,14 @@ def main():
                                      exp_name=args.exp_name))
 
     trainer = Trainer(cfg, dtype=jnp.float32 if args.fp32 else jnp.bfloat16)
+    if args.wandb_project:
+        from leod_tpu.train.trainer import MetricLogger
+        try:
+            trainer.logger.add_sink(MetricLogger.wandb_sink(
+                args.wandb_project, run_name=args.exp_name,
+                config={"dataset": args.dataset, "size": args.size}))
+        except ImportError:
+            print("wandb not installed; continuing with JSONL metrics only")
     state = None
     if (args.auto_resume and not args.checkpoint
             and trainer.latest_checkpoint()):

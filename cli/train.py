@@ -35,6 +35,19 @@ def main():
                     help="SSOD sequence subsample ratio")
     ap.add_argument("--soft", action="store_true",
                     help="self-training student config (ignore_bbox_thresh)")
+    ap.add_argument("--ssod-online", action="store_true",
+                    help="online SSOD: EMA teacher on weak views "
+                         "pseudo-labels strong views in-loop "
+                         "(selftrain/online.py)")
+    ap.add_argument("--ssod-alpha", type=float, default=0.999,
+                    help="EMA decay for the online teacher")
+    ap.add_argument("--ssod-burn-in", type=int, default=0,
+                    help="GT-only steps before pseudo labels merge")
+    ap.add_argument("--ssod-thresh", type=float, nargs=2, default=(0.7, 0.7),
+                    metavar=("OBJ", "CLS"),
+                    help="teacher obj/cls confidence thresholds")
+    ap.add_argument("--ssod-update", default="ema",
+                    help="teacher update: 'ema' or 'every-N'")
     ap.add_argument("--save-dir", default="./runs")
     ap.add_argument("--exp-name", default="leod_tpu")
     ap.add_argument("--val-every", type=int, default=None)
@@ -106,6 +119,12 @@ def main():
         # window or labeled frames are silently dropped
         tr = dataclasses.replace(tr,
                                  max_det_frames=dst.sequence_length)
+    if args.ssod_online:
+        tr = dataclasses.replace(tr, ssod_online=dataclasses.replace(
+            tr.ssod_online, enabled=True, alpha=args.ssod_alpha,
+            update_method=args.ssod_update,
+            burn_in_steps=args.ssod_burn_in,
+            obj_thresh=args.ssod_thresh[0], cls_thresh=args.ssod_thresh[1]))
     cfg = derive(dataclasses.replace(cfg, dataset=dst, training=tr,
                                      save_dir=args.save_dir,
                                      exp_name=args.exp_name))

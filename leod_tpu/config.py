@@ -211,6 +211,22 @@ class LRSchedulerConfig:
 
 
 @dataclass(frozen=True)
+class SSODOnlineConfig:
+    """Online SSOD: EMA teacher on weak views supervising the student on
+    strong views (selftrain/online.py; the reference ships the
+    components but never wires them — ssod_augmentor.py,
+    modules/utils/ssod.py:353-460)."""
+    enabled: bool = False
+    alpha: float = 0.999                # EMA decay (true-average warm-up)
+    update_method: str = "ema"          # 'ema' | 'every-N'
+    burn_in_steps: int = 0              # GT-only steps before pseudo merge
+    obj_thresh: float = 0.7             # teacher objectness threshold
+    cls_thresh: float = 0.7             # teacher class-conf threshold
+    skip_first_t: int = 2               # no pseudo labels right after reset
+    use_gt: bool = True                 # GT frames keep GT, not pseudo
+
+
+@dataclass(frozen=True)
 class TrainingConfig:
     precision: str = "bf16"             # compute dtype ('bf16' | 'fp32')
     max_steps: int = 400_000
@@ -243,6 +259,7 @@ class TrainingConfig:
     # Size it so cadence x step time stays well inside the preemption
     # grace period; single-process runs react every step regardless.
     multihost_sync_every: int = 25
+    ssod_online: SSODOnlineConfig = field(default_factory=SSODOnlineConfig)
 
 
 def stem_width_fold(model: "ModelConfig") -> int:

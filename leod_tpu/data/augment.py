@@ -14,7 +14,7 @@ Frames are [C, H, W] (or [T, C, H, W]) numpy arrays; labels are
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -69,11 +69,21 @@ class SpatialAugmentor:
     """Randomize once per sequence; apply to each window's frames+labels."""
 
     def __init__(self, hw: Tuple[int, int], cfg: AugmentConfig,
-                 rng: Optional[np.random.Generator] = None):
+                 rng: Optional[np.random.Generator] = None,
+                 zoom_in_random_fallback: bool = False):
         self.hw = hw
         self.cfg = cfg
         self.rng = rng or np.random.default_rng()
         self.params = AugmentParams()
+        # with no GT in the window, zoom-in normally deactivates (the crop
+        # is anchored on a random GT box); SSOD strong views instead crop
+        # a uniformly random window so unlabeled data still gets the
+        # augmentation (the whole point of weak/strong SSOD)
+        self.zoom_in_random_fallback = zoom_in_random_fallback
+        # exact transform applied by the last apply() call (per-window
+        # zoom-in crop origin included) — what a teacher-prediction
+        # mapper must replay, see weak_to_strong_boxes
+        self.last_applied = AugmentParams()
 
     def randomize(self):
         c, rng = self.cfg, self.rng
@@ -113,7 +123,10 @@ class SpatialAugmentor:
                 latest = lab
                 break
         if latest is None:
-            return None
+            if not self.zoom_in_random_fallback:
+                return None
+            return (int(self.rng.uniform(0, w - win_w)),
+                    int(self.rng.uniform(0, h - win_h)))
         i = int(self.rng.integers(0, len(latest)))
         bx0, by0 = float(latest.x[i]), float(latest.y[i])
         bx1 = min(bx0 + float(latest.w[i]), w - 1)
@@ -144,12 +157,16 @@ class SpatialAugmentor:
             skipped = [None if (l is not None and len(l) == 0) else l
                        for l in skipped]
 
+        applied = replace(p, zoom_in_xy=None)
         if p.rotate_deg != 0.0:
             ev = rotate_frames_nearest(ev, p.rotate_deg)
             map_labels(lambda l: l.rotate(p.rotate_deg))
         if p.zoom_in_factor > 1.0:
             xy = self._pick_zoom_in_window(labels, p.zoom_in_factor)
-            if xy is not None:
+            applied.zoom_in_xy = xy
+            if xy is None:
+                applied.zoom_in_factor = 1.0
+            else:
                 x0, y0 = xy
                 f = p.zoom_in_factor
                 win_h, win_w = int(h / f), int(w / f)
@@ -172,4 +189,59 @@ class SpatialAugmentor:
         out["ev_repr"] = ev
         out["labels"] = labels
         out["skipped_labels"] = skipped
+        self.last_applied = applied
         return out
+
+
+class SSODAugmentor:
+    """Weak + strong views of the same window for online SSOD training
+    (reference: data/utils/ssod_augmentor.py:21-61 — shipped but never
+    wired there; live here, see selftrain/online.py).
+
+    Weak = h-flip only at p=0.5; strong = the full augment config.
+    Both views share the base timeline (no t-flip: it reorders windows
+    at the sequence level and would desynchronize the pair)."""
+
+    def __init__(self, hw: Tuple[int, int], cfg: AugmentConfig,
+                 rng: Optional[np.random.Generator] = None):
+        rng = rng or np.random.default_rng()
+        weak_cfg = replace(cfg, prob_hflip=0.5, prob_tflip=0.0,
+                           rotate_prob=0.0,
+                           zoom=replace(cfg.zoom, prob=0.0))
+        strong_cfg = replace(cfg, prob_tflip=0.0)
+        self.weak = SpatialAugmentor(hw, weak_cfg, rng)
+        self.strong = SpatialAugmentor(hw, strong_cfg, rng,
+                                       zoom_in_random_fallback=True)
+
+    def randomize(self):
+        self.weak.randomize()
+        self.strong.randomize()
+
+    def __call__(self, sample: dict) -> Tuple[dict, dict]:
+        """-> (weak view, strong view). apply() never mutates the input
+        arrays/Boxes, so the two views can share the base sample."""
+        return self.weak.apply(sample), self.strong.apply(sample)
+
+
+def weak_to_strong_boxes(boxes: Boxes, weak: AugmentParams,
+                         strong: AugmentParams) -> Boxes:
+    """Map boxes living in the WEAK view (teacher predictions) into the
+    STRONG view's coordinate space (student supervision): undo the weak
+    h-flip (its own inverse), then replay the strong transform in
+    apply()'s order — rotate, zoom, h-flip (reference semantics:
+    modules/utils/ssod.py:353-426). `strong` must be the
+    `last_applied` record of the strong view's apply() call so the
+    per-window zoom-in crop origin is the one actually used."""
+    out = boxes
+    if weak.hflip:
+        out = out.flip_lr()
+    if strong.rotate_deg != 0.0:
+        out = out.rotate(strong.rotate_deg)
+    if strong.zoom_in_factor > 1.0 and strong.zoom_in_xy is not None:
+        out = out.zoom_in(strong.zoom_in_xy, strong.zoom_in_factor)
+    elif strong.zoom_out is not None:
+        x0, y0, f = strong.zoom_out
+        out = out.zoom_out((x0, y0), f)
+    if strong.hflip:
+        out = out.flip_lr()
+    return out

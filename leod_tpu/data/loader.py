@@ -25,7 +25,7 @@ from typing import Iterator, List, Optional, Tuple
 import numpy as np
 
 from ..config import DatasetConfig
-from .augment import SpatialAugmentor
+from .augment import SpatialAugmentor, SSODAugmentor
 from .labels import Boxes, pad_yolox_batch
 from .sequence import (EventSequence, RandomAccessSequence, WindowedSequence,
                        list_sequence_dirs, split_ranges_with_guaranteed_labels)
@@ -76,10 +76,11 @@ class _TrainSlot:
     + RandAugmentIterDataPipe, sequence_streaming.py:280-318)."""
 
     def __init__(self, sequences: List[EventSequence], window: int,
-                 cfg: DatasetConfig, seed: int):
+                 cfg: DatasetConfig, seed: int, ssod: bool = False):
         self.rng = np.random.default_rng(seed)
         self.window = window
         self.cfg = cfg
+        self.ssod = ssod
         self.parts: List[Tuple[EventSequence, Tuple[int, int]]] = []
         for seq in sequences:
             kept_reprs = seq.objframe_idx_2_repr_idx[list(seq.kept_objframe_idx)]
@@ -87,21 +88,38 @@ class _TrainSlot:
                     np.asarray(kept_reprs), window):
                 self.parts.append((seq, rng_idx))
         assert self.parts, "no labeled stream parts found"
-        self.augmentor = SpatialAugmentor(cfg.loading_hw, cfg.augment_stream,
-                                          self.rng)
+        if ssod:
+            # weak/strong paired views for online SSOD
+            # (selftrain/online.py); randomized per part like the plain
+            # augmentor, no t-flip (it reorders windows)
+            self.augmentor = SSODAugmentor(cfg.loading_hw,
+                                           cfg.augment_stream, self.rng)
+        else:
+            self.augmentor = SpatialAugmentor(cfg.loading_hw,
+                                              cfg.augment_stream, self.rng)
         self._iter = self._generate()
 
     def _generate(self):
+        from dataclasses import replace as _dc_replace
         while True:
             order = self.rng.permutation(len(self.parts))
             for pi in order:
                 seq, rng_idx = self.parts[int(pi)]
                 self.augmentor.randomize()
-                tflip = self.augmentor.params.tflip
+                tflip = (False if self.ssod
+                         else self.augmentor.params.tflip)
                 win = WindowedSequence(seq, self.window, range_indices=rng_idx,
                                        time_flip=tflip)
                 for i in range(len(win)):
-                    yield self.augmentor.apply(win[i])
+                    if not self.ssod:
+                        yield self.augmentor.apply(win[i])
+                        continue
+                    weak, strong = self.augmentor(win[i])
+                    yield {"weak": weak, "strong": strong,
+                           "weak_params": _dc_replace(
+                               self.augmentor.weak.params),
+                           "strong_applied": _dc_replace(
+                               self.augmentor.strong.last_applied)}
 
     def __next__(self):
         return next(self._iter)
@@ -112,18 +130,31 @@ class StreamTrainLoader:
     continues slot b's stream (reference: stream_concat_datapipe.py:63-103)."""
 
     def __init__(self, sequences: List[EventSequence], cfg: DatasetConfig,
-                 batch_size: int, seed: int = 0, slot_offset: int = 0):
+                 batch_size: int, seed: int = 0, slot_offset: int = 0,
+                 ssod: bool = False):
         """slot_offset: first GLOBAL slot id this loader feeds — under
         multi-host each process builds its local slice of the global
-        slot table with globally-unique stream seeds."""
+        slot table with globally-unique stream seeds.
+
+        ssod=True yields paired batches {"weak", "strong", "weak_params",
+        "strong_applied"} — two collated views of the same windows plus
+        the per-slot transform records (see selftrain/online.py)."""
+        self.ssod = ssod
         self.slots = [
             _TrainSlot(sequences, cfg.sequence_length, cfg,
-                       seed * 1000 + slot_offset + b)
+                       seed * 1000 + slot_offset + b, ssod=ssod)
             for b in range(batch_size)]
 
     def __iter__(self):
         while True:
-            yield collate([next(s) for s in self.slots])
+            pairs = [next(s) for s in self.slots]
+            if not self.ssod:
+                yield collate(pairs)
+                continue
+            yield {"weak": collate([p["weak"] for p in pairs]),
+                   "strong": collate([p["strong"] for p in pairs]),
+                   "weak_params": [p["weak_params"] for p in pairs],
+                   "strong_applied": [p["strong_applied"] for p in pairs]}
 
 
 class RandomTrainLoader:

@@ -428,6 +428,11 @@ class Trainer:
         assert B % n == 0, (B, n)
         b_local = B // n
         seqs = open_split_sequences(dst, "train", seq_ratio=dst.train_ratio)
+        if cfg.training.ssod_online.enabled:
+            # online SSOD needs continuous streams (the EMA teacher's
+            # LSTM state tracks the weak view across windows)
+            return StreamTrainLoader(seqs, dst, b_local, seed,
+                                     slot_offset=p * b_local, ssod=True), B
         mode = dst.train_sampling
         if mode == "stream":
             return StreamTrainLoader(seqs, dst, b_local, seed,
@@ -498,6 +503,16 @@ class Trainer:
         loader, B = self.make_train_loader(seed)
         if state is None:
             state = self.init_state(B, seed)
+        ssod_batcher = None
+        if cfg.training.ssod_online.enabled:
+            # the teacher starts as a copy of the student; on resume it
+            # re-initializes from the restored student (the EMA catches
+            # up within ~1/(1-alpha) steps, so teacher state is not
+            # checkpointed separately)
+            from ..selftrain.online import OnlineSSODBatcher
+            ssod_batcher = OnlineSSODBatcher(loader, self.det,
+                                             state.variables, cfg, B)
+            loader = ssod_batcher
         # viz reads one pred row back to host; under multi-host the preds
         # array spans non-addressable devices, so panels are single-host
         viz_every = (cfg.training.viz_every_steps
@@ -508,8 +523,9 @@ class Trainer:
                             remat=cfg.training.remat),
             donate_argnums=(0,))
         M = (cfg.training.max_det_frames or
-             default_frames_per_slot(cfg.dataset.sequence_length,
-                                     cfg.model.use_label_every))
+             (cfg.dataset.sequence_length if ssod_batcher is not None else
+              default_frames_per_slot(cfg.dataset.sequence_length,
+                                      cfg.model.use_label_every)))
         last_ckpt_time = time.time()
         # preemption-safe shutdown: SIGTERM -> checkpoint at the next
         # step boundary, then exit cleanly (only installable from the
@@ -562,6 +578,8 @@ class Trainer:
                         os.path.join(self.run_dir, "profile"))
                 state, metrics = train_step(state, dev)
                 step += 1      # steps completed (host-tracked; no sync)
+                if ssod_batcher is not None:
+                    ssod_batcher.update_teacher(state.variables, step)
                 preds = metrics.pop("preds", None)
                 if meta.get("viz") is not None and preds is not None:
                     self._write_viz_panel(step, meta["viz"], preds)

@@ -510,8 +510,11 @@ class Trainer:
             # up within ~1/(1-alpha) steps, so teacher state is not
             # checkpointed separately)
             from ..selftrain.online import OnlineSSODBatcher
+            # the loader yields this process's LOCAL slice of the global
+            # batch; the teacher's slot/state table must match it
             ssod_batcher = OnlineSSODBatcher(loader, self.det,
-                                             state.variables, cfg, B)
+                                             state.variables, cfg,
+                                             B // jax.process_count())
             loader = ssod_batcher
         # viz reads one pred row back to host; under multi-host the preds
         # array spans non-addressable devices, so panels are single-host

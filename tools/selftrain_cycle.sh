@@ -13,15 +13,19 @@ cd "$(dirname "$0")/.."
 WORK=${1:-/tmp/st_cycle_r3}
 STEPS_TEACHER=${STEPS_TEACHER:-300}
 STEPS_STUDENT=${STEPS_STUDENT:-300}
+NUM_TRAIN=${NUM_TRAIN:-6}     # synthetic train sequences
+NUM_REPRS=${NUM_REPRS:-64}    # event reprs per sequence
+LABEL_EVERY=${LABEL_EVERY:-4} # labeled-frame spacing (pre-WSOD-subsample)
 CPU_FLAG=${CYCLE_CPU:+--cpu}
 rm -rf "$WORK"; mkdir -p "$WORK"
 
 echo "== 0. synthetic dataset =="
-python - "$WORK/data" <<'EOF'
+python - "$WORK/data" "$NUM_TRAIN" "$NUM_REPRS" "$LABEL_EVERY" <<'EOF'
 import sys
 from leod_tpu.data.synthetic import generate_dataset
-generate_dataset(sys.argv[1], num_train=6, num_val=4, num_test=0,
-                 num_reprs=64, label_every=4, first_label_repr=11)
+generate_dataset(sys.argv[1], num_train=int(sys.argv[2]), num_val=4,
+                 num_test=0, num_reprs=int(sys.argv[3]),
+                 label_every=int(sys.argv[4]), first_label_repr=11)
 print("dataset at", sys.argv[1])
 EOF
 

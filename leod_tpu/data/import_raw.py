@@ -80,10 +80,14 @@ def import_recording(events_path: str, labels_path: Optional[str],
                      bins: int = 10, dt_us: int = DT_US,
                      ds2: bool = False, batch: int = 16,
                      class_map: Optional[Dict[int, int]] = None,
-                     ev_repr_name: str = "stacked_histogram_dt=50_nbins=10",
+                     ev_repr_name: Optional[str] = None,
                      ) -> Tuple[int, int]:
     """Voxelize one raw recording into `seq_dir`. Returns
-    (num_reprs, num_labeled_frames)."""
+    (num_reprs, num_labeled_frames). The repr directory name is derived
+    from the actual dt/bins so DatasetConfig.ev_repr_name can never
+    silently mismatch the written channel count."""
+    if ev_repr_name is None:
+        ev_repr_name = f"stacked_histogram_dt={dt_us // 1000}_nbins={bins}"
     reader = RawEventReader(events_path)
     if reader.size[0] is not None:
         height, width = reader.size
@@ -110,11 +114,15 @@ def import_recording(events_path: str, labels_path: Optional[str],
                 windows, bins, height, width, ds2)
             done += n
 
-    # labels: group by timestamp into labeled frames; window k covers
-    # (k*dt, (k+1)*dt] so a label at t lands on repr ceil(t/dt)-1
-    rows: list = []
-    frame_starts: list = []
-    repr_idx: list = []
+    # labels: group by WINDOW INDEX into labeled frames — window k covers
+    # (k*dt, (k+1)*dt] so a label at t lands on repr ceil(t/dt)-1.  All
+    # timestamps that fall in one window form ONE objframe: EventSequence's
+    # repr_idx -> objframe map is a dict (sequence.py:88), so emitting one
+    # objframe per raw timestamp would silently shadow all but the last
+    # group in each window (e.g. 60 Hz 1Mpx labels vs 50 ms windows).
+    labels = np.zeros((0,), BBOX_DTYPE)
+    frame_starts = np.zeros((0,), np.int64)
+    repr_idx = np.zeros((0,), np.int64)
     if labels_path is not None:
         boxes = load_boxes(labels_path)
         boxes = boxes[np.argsort(boxes["t"], kind="stable")]
@@ -125,22 +133,22 @@ def import_recording(events_path: str, labels_path: Optional[str],
             for src, dst in class_map.items():
                 remap[src] = dst
             boxes["class_id"] = remap[boxes["class_id"]]
-        for ts in np.unique(boxes["t"]):
-            idx = min(num_reprs - 1, max(0, int(np.ceil(ts / dt_us)) - 1))
-            frame_starts.append(len(rows))
-            repr_idx.append(idx)
-            for b in boxes[boxes["t"] == ts]:
-                row = np.zeros((), BBOX_DTYPE)
-                for name in ("t", "x", "y", "w", "h", "class_id",
-                             "class_confidence"):
-                    row[name] = b[name]
-                row["objectness"] = 1.0
-                rows.append(row)
-    labels = np.stack(rows) if rows else np.zeros((0,), BBOX_DTYPE)
+        if len(boxes):
+            ts = boxes["t"].astype(np.int64)
+            widx = np.clip((ts + dt_us - 1) // dt_us - 1, 0, num_reprs - 1)
+            # boxes are t-sorted so widx is non-decreasing: one pass finds
+            # the window-group boundaries (no O(boxes * timestamps) scans)
+            frame_starts = np.flatnonzero(
+                np.r_[True, widx[1:] != widx[:-1]]).astype(np.int64)
+            repr_idx = widx[frame_starts]
+            labels = np.zeros(len(boxes), BBOX_DTYPE)
+            for name in ("t", "x", "y", "w", "h", "class_id",
+                         "class_confidence"):
+                labels[name] = boxes[name]
+            labels["objectness"] = 1.0
     np.savez(os.path.join(seq_dir, "labels_v2", "labels.npz"), labels=labels,
-             objframe_idx_2_label_idx=np.asarray(frame_starts, np.int64))
-    np.save(os.path.join(ev_dir, "objframe_idx_2_repr_idx.npy"),
-            np.asarray(repr_idx, np.int64))
+             objframe_idx_2_label_idx=frame_starts)
+    np.save(os.path.join(ev_dir, "objframe_idx_2_repr_idx.npy"), repr_idx)
     return num_reprs, len(repr_idx)
 
 
@@ -148,9 +156,9 @@ def import_split(raw_dir: str, out_root: str, split: str, height: int,
                  width: int, **kwargs) -> int:
     """Import every recording under `raw_dir` into `<out_root>/<split>/`.
     Returns the number of sequences imported."""
-    names = sorted(
+    names = sorted({
         os.path.splitext(f)[0] for f in os.listdir(raw_dir)
-        if f.endswith((".dat", ".npy")) and not f.endswith("_bbox.npy"))
+        if f.endswith((".dat", ".npy")) and not f.endswith("_bbox.npy")})
     count = 0
     for name in names:
         for ext in (".dat", ".npy"):

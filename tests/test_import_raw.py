@@ -49,7 +49,7 @@ def test_import_matches_numpy_oracle(tmp_path):
     assert num_reprs == 5 and n_lab == 2
     import h5py
     with h5py.File(f"{seq_dir}/event_representations_v2/"
-                   "stacked_histogram_dt=50_nbins=10/"
+                   "stacked_histogram_dt=50_nbins=4/"
                    "event_representations.h5") as f:
         data = f["data"][:]
     assert data.shape == (5, 2 * BINS, H, W) and data.dtype == np.uint8
@@ -70,7 +70,7 @@ def test_labels_and_loader_roundtrip(tmp_path):
                      bins=BINS, dt_us=DT, class_map={0: 0, 1: 1, 3: 2})
     assert n == 1
     cfg = DatasetConfig(path=out, resolution_hw=(H, W),
-                        ev_repr_name="stacked_histogram_dt=50_nbins=10")
+                        ev_repr_name="stacked_histogram_dt=50_nbins=4")
     seq = EventSequence(f"{out}/train/rec_000", cfg)
     assert seq.num_ev_repr == 5
     # two labeled frames (windows 1 and 3: labels at t=2*DT and 4*DT)
@@ -91,9 +91,53 @@ def test_ds2_layout(tmp_path):
                      height=H, width=W, bins=BINS, dt_us=DT, ds2=True)
     import h5py
     with h5py.File(f"{seq_dir}/event_representations_v2/"
-                   "stacked_histogram_dt=50_nbins=10/"
+                   "stacked_histogram_dt=50_nbins=4/"
                    "event_representations_ds2_nearest.h5") as f:
         assert f["data"].shape == (3, 2 * BINS, H // 2, W // 2)
+
+
+def test_multiple_timestamps_one_window_single_objframe(tmp_path):
+    """Labels at several distinct timestamps inside ONE dt window must
+    form a single objframe (EventSequence's repr_idx->objframe map is a
+    dict; per-timestamp objframes would shadow all but the last group —
+    the 60 Hz-labels-vs-50 ms-windows 1Mpx case)."""
+    ev = np.empty(100, dtype=EVENT_DTYPE)
+    ev["t"] = np.linspace(0, 3 * DT - 1, 100).astype(np.uint32)
+    ev["x"], ev["y"], ev["p"] = 1, 2, 1
+    write_dat(str(tmp_path / "r.dat"), ev, height=H, width=W)
+    boxes = np.zeros(5, dtype=[("t", "<i8"), ("x", "<f4"), ("y", "<f4"),
+                               ("w", "<f4"), ("h", "<f4"),
+                               ("class_id", "<u4"),
+                               ("class_confidence", "<f4")])
+    # three timestamps in window 1, one in window 2
+    boxes["t"] = [DT + 5, DT + 5, DT + 20_000, DT + 40_000, 2 * DT + 9]
+    boxes["x"] = np.arange(5)
+    boxes["w"] = boxes["h"] = 4
+    boxes["class_confidence"] = 1.0
+    np.save(str(tmp_path / "r_bbox.npy"), boxes)
+    seq_dir = str(tmp_path / "o" / "train" / "r")
+    num_reprs, n_lab = import_recording(
+        str(tmp_path / "r.dat"), str(tmp_path / "r_bbox.npy"), seq_dir,
+        height=H, width=W, bins=BINS, dt_us=DT)
+    assert n_lab == 2
+    cfg = DatasetConfig(path=str(tmp_path / "o"), resolution_hw=(H, W),
+                        ev_repr_name="stacked_histogram_dt=50_nbins=4")
+    seq = EventSequence(seq_dir, cfg)
+    np.testing.assert_array_equal(seq.objframe_idx_2_repr_idx, [1, 2])
+    lab0, _ = seq.labels_at_repr_idx(1)
+    assert len(lab0) == 4          # every box of the window is reachable
+    np.testing.assert_array_equal(np.sort(lab0.arr[:, 1]), [0, 1, 2, 3])
+    lab1, _ = seq.labels_at_repr_idx(2)
+    assert len(lab1) == 1 and int(lab1.arr[0, 1]) == 4
+
+
+def test_import_split_dedupes_dat_and_npy(tmp_path):
+    """A recording present as both .dat and .npy imports once."""
+    ev, _ = _make_raw(tmp_path, n=500, n_windows=2)
+    np.save(str(tmp_path / "rec_000.npy"), ev)
+    n = import_split(str(tmp_path), str(tmp_path / "dd"), "train",
+                     height=H, width=W, bins=BINS, dt_us=DT)
+    assert n == 1
 
 
 def test_parse_class_map():

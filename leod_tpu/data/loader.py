@@ -450,13 +450,18 @@ class Prefetcher:
         self._it = it
         self._done = object()
         self._error: Optional[BaseException] = None
+        self._stop = False
         self._thread = threading.Thread(target=self._fill, daemon=True)
         self._thread.start()
 
     def _fill(self):
         try:
             for x in self._it:
+                if self._stop:
+                    break
                 self._q.put(x)
+                if self._stop:
+                    break
         except BaseException as e:                    # noqa: BLE001
             self._error = e
         finally:
@@ -470,3 +475,21 @@ class Prefetcher:
                     raise self._error
                 return
             yield x
+
+    def close(self):
+        """Stop the producer and JOIN the thread. Consumers that break
+        out of the iteration early (fit() at max_steps) must call this:
+        an abandoned daemon thread can be mid device-dispatch when the
+        interpreter exits, and dying inside an XLA call aborts the
+        process (`terminate called ... FATAL: exception not rethrown`) —
+        observed with the online-SSOD batcher, whose producer runs
+        teacher inference."""
+        self._stop = True
+        # unblock a producer stuck in q.put (queue full), then wait for
+        # it to finish any in-flight item and exit via the _done put
+        while self._thread.is_alive():
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                pass
+            self._thread.join(timeout=0.1)

@@ -21,6 +21,8 @@ The teacher copy is kept in float32 so a bf16 student's slow EMA decay
 """
 from __future__ import annotations
 
+import threading
+from functools import partial
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -46,7 +48,9 @@ def make_teacher_update(method: str = "ema", alpha: float = 0.999):
     """
     method = method.lower()
     if method == "ema":
-        @jax.jit
+        # the old teacher tree is dead the moment the new one exists:
+        # donate it so the f32 teacher never transiently doubles in HBM
+        @partial(jax.jit, donate_argnums=(0,))
         def update(teacher, student, step):
             a = jnp.minimum(1.0 - 1.0 / (step + 1.0), alpha)
             return jax.tree_util.tree_map(
@@ -83,12 +87,22 @@ class OnlineSSODBatcher:
     """
 
     def __init__(self, loader, det: Detector, variables,
-                 cfg: ExperimentConfig, batch_size: int):
+                 cfg: ExperimentConfig, batch_size: int,
+                 start_step: int = 0):
         oc = cfg.training.ssod_online
         self.loader = loader
         self.det = det
         self.cfg = cfg
         self.oc = oc
+        # Under multi-host the student variables live replicated on the
+        # GLOBAL mesh; the teacher must run on this process's local
+        # devices so its det/valid outputs are host-fetchable from the
+        # prefetch thread (same reason trainer.evaluate pulls weights to
+        # host before re-replicating on the local mesh).  The replicated
+        # leaves are fully addressable, so np.asarray is a local read.
+        self._multihost = jax.process_count() > 1
+        if self._multihost:
+            variables = jax.tree_util.tree_map(np.asarray, variables)
         # copy=True: with an f32 student, asarray would alias the live
         # student buffers, which the train step donates (deleting the
         # teacher's leaves with them)
@@ -98,12 +112,27 @@ class OnlineSSODBatcher:
         self._update = make_teacher_update(oc.update_method, oc.alpha)
         self.states = det.init_states(batch_size)
         self.lens = np.zeros(batch_size, np.int64)
-        self.batches_out = 0
+        # burn-in is counted in batches == optimizer steps; seed from the
+        # restored step so a resumed run does not re-impose the full
+        # GT-only burn-in after every preemption
+        self.batches_out = int(start_step)
+        # teacher inference runs in the prefetch thread, the EMA update
+        # in the fit loop; the update DONATES the old teacher tree, so
+        # the read->dispatch handoff must not interleave with the
+        # donation (a deleted-buffer crash).  Both critical sections are
+        # async jit dispatches — the lock is held for microseconds.
+        self._teacher_lock = threading.Lock()
 
     # -- teacher maintenance (called by the fit loop after each step) ----
     def update_teacher(self, student_variables, step: int):
-        self.teacher_vars = self._update(self.teacher_vars,
-                                         student_variables, step)
+        if self._multihost:
+            # global-mesh student -> local host copy (replicated leaves),
+            # so the EMA jit never mixes device sets
+            student_variables = jax.tree_util.tree_map(
+                np.asarray, student_variables)
+        with self._teacher_lock:
+            self.teacher_vars = self._update(self.teacher_vars,
+                                             student_variables, step)
 
     # -- batch production ------------------------------------------------
     def _teacher_dets(self, weak: Dict[str, Any]):
@@ -118,8 +147,9 @@ class OnlineSSODBatcher:
         hb["frame_mask"] = np.ones_like(hb["frame_t"], bool)
         dev = {k: hb[k] for k in ("ev", "is_first", "frame_t",
                                   "frame_mask", "labels")}
-        self.states, preds = self._eval_step(self.teacher_vars,
-                                             self.states, dev)
+        with self._teacher_lock:
+            self.states, preds = self._eval_step(self.teacher_vars,
+                                                 self.states, dev)
         pp = cfg.model.postprocess
         dets, valid = postprocess(preds,
                                   num_classes=cfg.model.head.num_classes,

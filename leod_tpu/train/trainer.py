@@ -212,8 +212,10 @@ def run_streaming_eval(det: Detector, variables, cfg: ExperimentConfig,
         variables = replicate(mesh, variables)
         states = shard_states(mesh, states)
     n_cls = cfg.model.head.num_classes
-    for bi, batch in enumerate(Prefetcher(iter(loader))):
+    prefetcher = Prefetcher(iter(loader))
+    for bi, batch in enumerate(prefetcher):
         if max_batches is not None and bi >= max_batches:
+            prefetcher.close()       # join the producer before moving on
             break
         while True:
             hb = harvest_frames(batch, M, cfg.model.head.max_gt,
@@ -514,7 +516,8 @@ class Trainer:
             # batch; the teacher's slot/state table must match it
             ssod_batcher = OnlineSSODBatcher(loader, self.det,
                                              state.variables, cfg,
-                                             B // jax.process_count())
+                                             B // jax.process_count(),
+                                             start_step=int(state.step))
             loader = ssod_batcher
         # viz reads one pred row back to host; under multi-host the preds
         # array spans non-addressable devices, so panels are single-host
@@ -572,8 +575,9 @@ class Trainer:
                 yield dev, meta
 
         stopped = False
+        prefetcher = Prefetcher(device_batches(), depth=3)
         try:
-            for dev, meta in Prefetcher(device_batches(), depth=3):
+            for dev, meta in prefetcher:
                 if step >= total:
                     break
                 if profile_steps and step == 5:
@@ -647,6 +651,9 @@ class Trainer:
             if not stopped:
                 self.save_checkpoint(state, "last")
         finally:
+            # join the producer thread: an abandoned daemon thread dying
+            # mid device-dispatch at interpreter exit aborts the process
+            prefetcher.close()
             # always restore the handler and consume the stop request:
             # a stale flag or a leaked swallowing handler would make the
             # NEXT fit() exit immediately / ignore real SIGTERMs

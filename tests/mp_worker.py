@@ -65,6 +65,35 @@ def main():
     mesh = make_mesh()
     assert mesh.devices.size == 2 * nproc
 
+    if mode == "ssod":
+        # online SSOD under the real multi-controller runtime: the EMA
+        # teacher must run on LOCAL devices (its dets are fetched from
+        # the prefetch thread) while the student lives replicated on the
+        # global mesh — the exact mixed-device-set hazard this mode
+        # exercises end-to-end.
+        from leod_tpu.config import SSODOnlineConfig
+        cfg = dataclasses.replace(
+            cfg, training=dataclasses.replace(
+                cfg.training,
+                ssod_online=SSODOnlineConfig(
+                    enabled=True, burn_in_steps=1, obj_thresh=0.05,
+                    cls_thresh=0.05, skip_first_t=1)))
+        trainer = Trainer(cfg, dtype=jnp.float32, mesh=mesh)
+        state = trainer.fit(max_steps=3, log_every=1)
+        assert int(state.step) == 3
+        losses = None
+        if pid == 0:
+            losses = []
+            with open(os.path.join(trainer.run_dir,
+                                   "metrics.jsonl")) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    if "loss" in rec:
+                        losses.append(rec["loss"])
+        with open(out_path, "w") as f:
+            json.dump({"step": int(state.step), "losses": losses}, f)
+        return
+
     if mode == "preempt":
         # preemption failure-injection: the parent SIGTERMs ONE rank
         # mid-fit; the stop request must propagate through the

@@ -108,6 +108,49 @@ def test_two_process_train_and_eval(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_online_ssod(tmp_path):
+    """Online SSOD under the real 2-process runtime: the EMA teacher
+    (local-device copy, prefetch-thread inference + per-step EMA pull
+    from the global-mesh student) must train without touching
+    non-addressable shards on either rank."""
+    from leod_tpu.data.synthetic import generate_dataset
+
+    root = str(tmp_path / "synth")
+    generate_dataset(root, num_train=2, num_val=1, num_test=0,
+                     num_reprs=24, label_every=4, first_label_repr=11,
+                     hw=(64, 96))
+    runs = str(tmp_path / "runs_ssod")
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["PYTHONPATH"] = os.path.dirname(TESTS_DIR)
+    outs = [str(tmp_path / f"ssod{p}.json") for p in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(TESTS_DIR, "mp_worker.py"),
+             str(p), "2", str(port), root, runs, outs[p], "ssod"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env)
+        for p in range(2)
+    ]
+    logs = []
+    for p in procs:
+        # SSOD compiles three extra programs (teacher eval, NMS, EMA);
+        # generous timeout for oversubscribed CI boxes
+        out, _ = p.communicate(timeout=1800)
+        logs.append(out)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-4000:]
+    results = []
+    for path in outs:
+        with open(path) as f:
+            results.append(json.load(f))
+    assert results[0]["step"] == results[1]["step"] == 3
+    assert results[0]["losses"] and all(
+        np.isfinite(v) for v in results[0]["losses"])
+    assert results[1]["losses"] is None        # rank-0-only logging
+
+
+@pytest.mark.slow
 def test_two_process_preemption_stops_both_ranks(tmp_path):
     """Failure injection: SIGTERM ONE rank mid-fit. The stop request must
     propagate through the rank-consistent multihost sync so BOTH ranks

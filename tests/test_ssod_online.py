@@ -204,6 +204,21 @@ def test_stream_loader_ssod_pairs(ssod_exp_cfg):
                 and p.zoom_in_factor == 1.0 and not p.tflip
 
 
+def test_burn_in_counter_seeds_from_restored_step(ssod_exp_cfg):
+    """A resumed run must not re-impose the GT-only burn-in: the batch
+    counter seeds from the restored optimizer step (preemption-resume is
+    a first-class path here, trainer.py SIGTERM handling)."""
+    import jax
+    from leod_tpu.models.detector import Detector
+    from leod_tpu.selftrain.online import OnlineSSODBatcher
+
+    det = Detector(ssod_exp_cfg.model, dtype=jnp.float32)
+    variables = det.init(jax.random.PRNGKey(0), batch_size=2)
+    b = OnlineSSODBatcher(None, det, variables, ssod_exp_cfg, 2,
+                          start_step=7)
+    assert b.batches_out == 7    # burn_in_steps=1 long since passed
+
+
 def test_online_ssod_fit(ssod_exp_cfg):
     """Three optimizer steps with the live EMA-teacher loop: burn-in
     step trains on GT only, steps 2-3 merge teacher pseudo labels (the

@@ -15,7 +15,14 @@ STEPS_TEACHER=${STEPS_TEACHER:-300}
 STEPS_STUDENT=${STEPS_STUDENT:-300}
 NUM_TRAIN=${NUM_TRAIN:-6}     # synthetic train sequences
 NUM_REPRS=${NUM_REPRS:-64}    # event reprs per sequence
-LABEL_EVERY=${LABEL_EVERY:-4} # labeled-frame spacing (pre-WSOD-subsample)
+LABEL_EVERY=${LABEL_EVERY:-2} # labeled-frame spacing (pre-WSOD-subsample)
+# RECIPE SENSITIVITY: the full gen1 TBPTT recipe (bs 8, L=21) is what
+# makes the sparse-label WSOD teacher learn. Short-window runs
+# (bs 4, L=8) leave box regression stuck at IoU~0 — the 1-iou^2 loss
+# has a vanishing gradient when predictions never overlap, dynamic-k
+# stays 1, and train AP lands at 0 even after 2000 steps (measured).
+BATCH=${BATCH:-8}
+SEQ_LEN=${SEQ_LEN:-21}
 CPU_FLAG=${CYCLE_CPU:+--cpu}
 rm -rf "$WORK"; mkdir -p "$WORK"
 
@@ -31,19 +38,19 @@ EOF
 
 echo "== 1. WSOD teacher (25% labels, $STEPS_TEACHER steps) =="
 python cli/train.py --dataset gen1 --size tiny --path "$WORK/data" \
-    --ratio 0.25 --steps "$STEPS_TEACHER" --batch-size 4 --seq-len 8 \
+    --ratio 0.25 --steps "$STEPS_TEACHER" --batch-size "$BATCH" --seq-len "$SEQ_LEN" \
     --save-dir "$WORK/runs" --exp-name teacher --val-every 0 $CPU_FLAG
 
 echo "== 2. teacher eval =="
 python cli/val.py --dataset gen1 --size tiny --path "$WORK/data" --split val \
-    --seq-len 8 --ckpt "$WORK/runs/teacher/ckpt_last" $CPU_FLAG \
+    --seq-len "$SEQ_LEN" --ckpt "$WORK/runs/teacher/ckpt_last" $CPU_FLAG \
     | tee "$WORK/teacher_eval.json"
 
 echo "== 3. pseudo-label generation (2 shards, hflip TTA) =="
 for SHARD in 0 1; do
   python cli/predict.py --dataset gen1 --size tiny --path "$WORK/data" \
       --ratio 0.25 --ckpt "$WORK/runs/teacher/ckpt_last" \
-      --save-dir "$WORK/pseudo" --seq-len 8 --batch-size 3 \
+      --save-dir "$WORK/pseudo" --seq-len "$SEQ_LEN" --batch-size 3 \
       --tta-hflip --obj-thresh 0.3 0.15 --cls-thresh 0.3 0.15 \
       --min-track-len 3 --conf 0.05 \
       --shard-index "$SHARD" --num-shards 2 $CPU_FLAG
@@ -57,12 +64,12 @@ python cli/val_dst.py --dataset gen1 --path "$WORK/pseudo" \
 echo "== 5. soft student on the pseudo dataset =="
 python cli/train.py --dataset gen1 --size tiny --path "$WORK/pseudo" \
     --soft --weight "$WORK/runs/teacher/ckpt_last" \
-    --steps "$STEPS_STUDENT" --batch-size 4 --seq-len 8 --lr 5e-4 \
+    --steps "$STEPS_STUDENT" --batch-size "$BATCH" --seq-len "$SEQ_LEN" --lr 5e-4 \
     --save-dir "$WORK/runs" --exp-name student --val-every 0 $CPU_FLAG
 
 echo "== 6. student eval =="
 python cli/val.py --dataset gen1 --size tiny --path "$WORK/data" --split val \
-    --seq-len 8 --ckpt "$WORK/runs/student/ckpt_last" $CPU_FLAG \
+    --seq-len "$SEQ_LEN" --ckpt "$WORK/runs/student/ckpt_last" $CPU_FLAG \
     | tee "$WORK/student_eval.json"
 
 echo "cycle complete: teacher/student eval JSON + pseudo score in $WORK"

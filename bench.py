@@ -179,8 +179,10 @@ def _bench_dataset(dataset: str, iters: int, latency: bool,
     det = Detector(cfg.model, dtype=jnp.bfloat16, fused_inference=fused)
     variables = det.init(jax.random.PRNGKey(0), batch_size=1)
 
-    # gen4 defaults mirror the reference workload (bs 8, L=5, reference
-    # docs/benchmark.md:16); gen1 (bs 16, L=21) is the headline config
+    # gen4 defaults mirror the reference workload (bs 8, L=5;
+    # /root/reference/docs/benchmark.md:16 — the reference repo's file,
+    # not this repo's docs/benchmarks.md); gen1 (bs 16, L=21) is the
+    # headline config
     B_def = "16" if dataset == "gen1" else "8"
     L_def = "21" if dataset == "gen1" else "5"
     if use_env_workload:

@@ -1,0 +1,337 @@
+"""Production serving: AOT model export + a stateful streaming engine.
+
+The reference has no serving story — its inference entry points are
+batch scripts (reference: val.py, predict.py). This module provides the
+TPU-native one:
+
+- `make_serve_step`: ONE jitted per-frame detect step over an explicit
+  LSTM state table — reset + backbone step + FPN + head + decode +
+  fixed-shape NMS, all inside a single XLA program. An `active` row
+  mask freezes the state of idle stream slots so one compiled program
+  serves any subset of its B slots per tick.
+- `export_serve_step` / `save_artifact` / `load_artifact`: AOT export
+  via `jax.export` to a self-contained serialized StableHLO artifact
+  (weights baked in as constants). A serving process deserializes and
+  runs it WITHOUT the model code, flax, or a checkpoint — and the
+  artifact is immune to framework-side model edits.
+- `ServingEngine`: a thread-safe micro-batching engine mapping client
+  stream ids onto the B state-table slots (LRU eviction -> state
+  reset), coalescing concurrent requests into one device step.
+
+`cli/export.py` and `cli/serve.py` are the command-line entry points.
+"""
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+from .config import ExperimentConfig, stem_fold_hw
+from .models.backbone import reset_states
+from .models.detector import Detector
+from .ops.nms import postprocess
+
+ARTIFACT_SUFFIX = ".stablehlo"
+
+
+# ---------------------------------------------------------------------------
+# The serving step
+# ---------------------------------------------------------------------------
+
+def make_serve_step(det: Detector, variables,
+                    conf_threshold: Optional[float] = None) -> Callable:
+    """Build `serve_step(states, ev, reset, active)` with the weights
+    closed over (they become constants of the exported program).
+
+      states : BackboneStates pytree, one row per stream slot
+      ev     : [B, H, W, C] uint8 event frame — or the host-prefolded
+               space-to-depth layout [B, H/4, W/4, 16C] (the stem
+               accepts both, bit-identically; models/layers.py)
+      reset  : [B] bool — zero a slot's LSTM state BEFORE the step
+               (stream start; mirrors the eval path's `is_first`)
+      active : [B] bool — rows that carry a real frame this tick.
+               Inactive rows keep their (post-reset) state unchanged and
+               their detections are garbage — callers must ignore them.
+
+    Returns (new_states, dets [B, max_dets, 7], valid [B, max_dets]):
+    dets rows are (x0, y0, x1, y1, obj_conf, cls_conf, cls_id) at input
+    resolution, exactly the streaming-eval decode
+    (train/trainer.py run_streaming_eval).
+    """
+    cfg = det.cfg
+    pp = cfg.postprocess
+    conf = (conf_threshold if conf_threshold is not None
+            else pp.confidence_threshold)
+    n_cls = cfg.head.num_classes
+
+    def serve_step(states, ev, reset, active):
+        states0 = reset_states(states, reset)
+        feats, new_states = det.forward_backbone(variables, ev, states0)
+        # freeze idle slots: keep the post-reset state so an eviction
+        # reset sticks even when the slot sits idle afterwards
+        def merge(new, old):
+            keep = active.reshape((-1,) + (1,) * (new.ndim - 1))
+            return jnp.where(keep, new, old)
+        new_states = jax.tree.map(merge, new_states, states0)
+        preds, _ = det.forward_detect(variables, feats, train=False)
+        dets, valid = postprocess(preds, num_classes=n_cls,
+                                  conf_threshold=conf,
+                                  nms_threshold=pp.nms_threshold,
+                                  pre_topk=pp.pre_nms_topk,
+                                  max_dets=pp.max_dets)
+        return new_states, dets, valid & active[:, None]
+
+    return serve_step
+
+
+def serve_input_shape(cfg: ExperimentConfig, batch_size: int,
+                      fold: bool = True) -> Tuple[int, ...]:
+    """Frame-array shape the serving step expects. fold=True ships the
+    production host-prefolded space-to-depth layout (when the stem
+    supports it); False ships raw [B, H, W, C]."""
+    h, w = cfg.model.backbone.in_res_hw
+    c = cfg.model.backbone.input_channels
+    fh, fw = stem_fold_hw(cfg.model) if fold else (1, 1)
+    return (batch_size, h // fh, w // fw, fh * fw * c)
+
+
+# ---------------------------------------------------------------------------
+# AOT export (jax.export / StableHLO)
+# ---------------------------------------------------------------------------
+
+def export_serve_step(det: Detector, variables, cfg: ExperimentConfig,
+                      batch_size: int, *, fold: bool = True,
+                      conf_threshold: Optional[float] = None,
+                      platforms: Optional[Tuple[str, ...]] = None
+                      ) -> jax_export.Exported:
+    """AOT-export the serving step for fixed (batch, resolution) shapes.
+
+    platforms: lowering targets, e.g. ("tpu",) or ("tpu", "cpu") for an
+    artifact that runs on both; None = the current default backend.
+    """
+    states = jax.eval_shape(lambda: det.init_states(batch_size))
+    ev = jax.ShapeDtypeStruct(serve_input_shape(cfg, batch_size, fold),
+                              jnp.uint8)
+    flag = jax.ShapeDtypeStruct((batch_size,), jnp.bool_)
+    fn = jax.jit(make_serve_step(det, variables, conf_threshold))
+    kwargs = {} if platforms is None else {"platforms": platforms}
+    return jax_export.export(fn, **kwargs)(states, ev, flag, flag)
+
+
+def artifact_meta(cfg: ExperimentConfig, batch_size: int, fold: bool,
+                  conf_threshold: Optional[float] = None) -> Dict[str, Any]:
+    pp = cfg.model.postprocess
+    return {
+        "dataset": cfg.dataset.name,
+        "classes": list(cfg.dataset.classes),
+        "batch_size": batch_size,
+        "in_res_hw": list(cfg.model.backbone.in_res_hw),
+        "input_channels": cfg.model.backbone.input_channels,
+        "fold_hw": list(stem_fold_hw(cfg.model)) if fold else [1, 1],
+        "frame_shape": list(serve_input_shape(cfg, batch_size, fold)[1:]),
+        "max_dets": pp.max_dets,
+        "conf_threshold": (conf_threshold if conf_threshold is not None
+                           else pp.confidence_threshold),
+        "nms_threshold": pp.nms_threshold,
+    }
+
+
+def save_artifact(exported: jax_export.Exported, path: str,
+                  meta: Dict[str, Any]) -> None:
+    """Write `<path>` (serialized StableHLO) + `<path>.json` (metadata)."""
+    with open(path, "wb") as f:
+        f.write(exported.serialize())
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def load_artifact(path: str) -> Tuple[Callable, Dict[str, Any]]:
+    """Deserialize an exported artifact -> (step_fn, meta).
+
+    step_fn(states, ev, reset, active) executes the compiled program on
+    the current backend (it must be one of the export platforms)."""
+    with open(path, "rb") as f:
+        exported = jax_export.deserialize(bytearray(f.read()))
+    meta_path = path + ".json"
+    meta: Dict[str, Any] = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return jax.jit(exported.call), meta
+
+
+def zero_states_like(exported_or_fn, det: Optional[Detector] = None,
+                     batch_size: Optional[int] = None):
+    """Zero state table matching an Exported's state input avals (no
+    model code needed), or from a live Detector."""
+    if det is not None:
+        return det.init_states(batch_size)
+    exported = exported_or_fn
+    args, _ = jax.tree.unflatten(exported.in_tree,
+                                 list(exported.in_avals))
+    return jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), args[0])
+
+
+# ---------------------------------------------------------------------------
+# Micro-batching engine
+# ---------------------------------------------------------------------------
+
+class _Request:
+    __slots__ = ("stream", "frame", "event", "result", "error")
+
+    def __init__(self, stream: str, frame: np.ndarray):
+        self.stream = stream
+        self.frame = frame
+        self.event = threading.Event()
+        self.result: Optional[np.ndarray] = None
+        self.error: Optional[BaseException] = None
+
+
+class ServingEngine:
+    """Thread-safe stateful streaming detector over B slots.
+
+    Maps client stream ids onto the state table's B rows. Concurrent
+    `detect` calls coalesce into one device step (micro-batching up to
+    `max_wait_ms`); two frames of the SAME stream never share a step
+    (recurrence is sequential per stream). When all slots are taken, the
+    least-recently-used idle stream is evicted and its slot's LSTM
+    state reset.
+
+    step_fn: `serve_step`-signature callable — a live jitted step or a
+    deserialized artifact's call.
+    """
+
+    def __init__(self, step_fn: Callable, zero_states, frame_shape,
+                 frame_dtype=np.uint8, max_wait_ms: float = 2.0):
+        self._step = step_fn
+        self._states = jax.tree.map(jnp.asarray, zero_states)
+        self.batch_size = int(jax.tree.leaves(zero_states)[0].shape[0])
+        self.frame_shape = tuple(frame_shape)
+        self.frame_dtype = np.dtype(frame_dtype)
+        self.max_wait_ms = max_wait_ms
+        self._slots: Dict[str, int] = {}       # stream id -> slot row
+        self._lru: List[str] = []              # least-recent first
+        self._pending: List[_Request] = []
+        self._lock = threading.Lock()
+        self._wake = threading.Condition(self._lock)
+        self._closed = False
+        self._steps = 0
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    # -- client API ---------------------------------------------------------
+    def detect(self, stream: str, frame: np.ndarray,
+               timeout: Optional[float] = 60.0) -> np.ndarray:
+        """Run one frame of `stream`; returns dets [n, 7] (see
+        make_serve_step). Blocks until the frame's micro-batch ran."""
+        frame = np.asarray(frame)
+        if frame.shape != self.frame_shape or frame.dtype != self.frame_dtype:
+            raise ValueError(
+                f"frame must be {self.frame_shape} {self.frame_dtype}, "
+                f"got {frame.shape} {frame.dtype}")
+        req = _Request(stream, frame)
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("engine closed")
+            self._pending.append(req)
+            self._wake.notify()
+        if not req.event.wait(timeout):
+            raise TimeoutError(f"stream {stream}: no step within {timeout}s")
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def stats(self) -> Dict[str, Any]:
+        with self._lock:
+            return {"steps": self._steps, "streams": len(self._slots),
+                    "slots": self.batch_size, "pending": len(self._pending)}
+
+    def close(self) -> None:
+        with self._lock:
+            self._closed = True
+            self._wake.notify()
+        self._worker.join()
+        for req in self._pending:
+            req.error = RuntimeError("engine closed")
+            req.event.set()
+
+    # -- worker -------------------------------------------------------------
+    def _take_batch(self) -> List[_Request]:
+        """Pop at most one pending request per stream (holding lock)."""
+        taken: List[_Request] = []
+        streams = set()
+        rest: List[_Request] = []
+        for req in self._pending:
+            if req.stream in streams or len(taken) >= self.batch_size:
+                rest.append(req)
+            else:
+                streams.add(req.stream)
+                taken.append(req)
+        self._pending = rest
+        return taken
+
+    def _assign_slot(self, stream: str) -> Tuple[int, bool]:
+        """(slot, is_new) — evicts the LRU stream when full (lock held)."""
+        if stream in self._slots:
+            self._lru.remove(stream)
+            self._lru.append(stream)
+            return self._slots[stream], False
+        if len(self._slots) >= self.batch_size:
+            victim = self._lru.pop(0)
+            slot = self._slots.pop(victim)
+        else:
+            slot = min(set(range(self.batch_size)) - set(self._slots.values()))
+        self._slots[stream] = slot
+        self._lru.append(stream)
+        return slot, True
+
+    def _loop(self) -> None:
+        while True:
+            with self._lock:
+                while not self._pending and not self._closed:
+                    self._wake.wait()
+                if self._closed:
+                    return
+                deadline = time.monotonic() + self.max_wait_ms / 1e3
+                # coalesce a moment for concurrent arrivals
+                while (len({r.stream for r in self._pending})
+                       < self.batch_size):
+                    left = deadline - time.monotonic()
+                    if left <= 0:
+                        break
+                    self._wake.wait(left)
+                    if self._closed:
+                        return
+                batch = self._take_batch()
+                rows = [self._assign_slot(r.stream) for r in batch]
+            try:
+                ev = np.zeros((self.batch_size,) + self.frame_shape,
+                              self.frame_dtype)
+                reset = np.zeros(self.batch_size, bool)
+                active = np.zeros(self.batch_size, bool)
+                for req, (slot, is_new) in zip(batch, rows):
+                    ev[slot] = req.frame
+                    reset[slot] = is_new
+                    active[slot] = True
+                self._states, dets, valid = self._step(
+                    self._states, jnp.asarray(ev), jnp.asarray(reset),
+                    jnp.asarray(active))
+                dets = np.asarray(dets)
+                valid = np.asarray(valid)
+                with self._lock:
+                    self._steps += 1
+                for req, (slot, _) in zip(batch, rows):
+                    req.result = dets[slot][valid[slot]]
+                    req.event.set()
+            except BaseException as e:  # propagate to blocked callers
+                for req in batch:
+                    req.error = e
+                    req.event.set()

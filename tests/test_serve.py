@@ -1,0 +1,253 @@
+"""Serving path: the per-frame serve step, AOT export round-trip, and
+the micro-batching ServingEngine (leod_tpu/serve.py)."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from leod_tpu.config import (BackboneConfig, DatasetConfig, ExperimentConfig,
+                             HeadConfig, ModelConfig, stem_fold_hw)
+from leod_tpu.models.detector import Detector
+from leod_tpu.models.layers import fold_ev_hw
+from leod_tpu.ops.nms import postprocess
+from leod_tpu.serve import (ServingEngine, artifact_meta, export_serve_step,
+                            load_artifact, make_serve_step, save_artifact,
+                            serve_input_shape, zero_states_like)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ExperimentConfig(
+        dataset=dataclasses.replace(DatasetConfig(), name="gen1",
+                                    resolution_hw=(64, 96)),
+        model=ModelConfig(
+            backbone=BackboneConfig(embed_dim=32, in_res_hw=(64, 96),
+                                    partition_size=(2, 3)),
+            head=HeadConfig(num_classes=2, max_gt=8)))
+    det = Detector(cfg.model, dtype=jnp.float32)
+    variables = det.init(jax.random.PRNGKey(0), batch_size=1)
+    return cfg, det, variables
+
+
+def _frames(cfg, batch, n, seed=0):
+    """n raw frames [n, B, H, W, C] u8 with some event mass."""
+    h, w = cfg.model.backbone.in_res_hw
+    c = cfg.model.backbone.input_channels
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 40, (n, batch, h, w, c)).astype(np.uint8)
+
+
+def test_serve_step_recurrence_and_reset(setup):
+    """serve_step == manual reset+backbone+detect+postprocess, threads
+    state across calls, and `reset` re-zeroes a single slot."""
+    cfg, det, variables = setup
+    B = 2
+    step = jax.jit(make_serve_step(det, variables))
+    frames = _frames(cfg, B, 3)
+    states = det.init_states(B)
+    on = jnp.ones(B, bool)
+    off = jnp.zeros(B, bool)
+
+    # manual composition over the same 3 frames
+    from leod_tpu.models.backbone import reset_states
+    m_states = det.init_states(B)
+    pp = cfg.model.postprocess
+    for t in range(3):
+        feats, m_states = det.forward_backbone(variables, jnp.asarray(frames[t]),
+                                               m_states)
+        preds, _ = det.forward_detect(variables, feats, train=False)
+        m_dets, m_valid = postprocess(
+            preds, num_classes=2, conf_threshold=pp.confidence_threshold,
+            nms_threshold=pp.nms_threshold, pre_topk=pp.pre_nms_topk,
+            max_dets=pp.max_dets)
+        states, dets, valid = step(states, jnp.asarray(frames[t]), off, on)
+        np.testing.assert_allclose(np.asarray(dets), np.asarray(m_dets),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(valid), np.asarray(m_valid))
+
+    # resetting row 0 zeroes exactly that row's state before the step
+    reset = jnp.array([True, False])
+    new_states, _, _ = step(states, jnp.asarray(frames[0]), reset, on)
+    fresh = det.init_states(B)
+    f_states, _, _ = step(fresh, jnp.asarray(frames[0]), off, on)
+    for (nh, nc), (fh, fc), (oh, oc) in zip(new_states, f_states, states):
+        np.testing.assert_allclose(np.asarray(nh[0]), np.asarray(fh[0]),
+                                   rtol=1e-5, atol=1e-6)
+        assert not np.allclose(np.asarray(nh[1]), np.asarray(fh[1]))
+
+
+def test_inactive_slots_hold_state(setup):
+    """active=False rows keep their LSTM state bit-identically and
+    report zero valid detections."""
+    cfg, det, variables = setup
+    B = 2
+    step = jax.jit(make_serve_step(det, variables))
+    frames = _frames(cfg, B, 2, seed=1)
+    states = det.init_states(B)
+    states, _, _ = step(states, jnp.asarray(frames[0]),
+                        jnp.zeros(B, bool), jnp.ones(B, bool))
+    before = jax.tree.map(lambda s: np.asarray(s[1]).copy(), states)
+    active = jnp.array([True, False])
+    new_states, dets, valid = step(states, jnp.asarray(frames[1]),
+                                   jnp.zeros(B, bool), active)
+    after = jax.tree.map(lambda s: np.asarray(s[1]), new_states)
+    for b, a in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(b, a)
+    assert not np.asarray(valid)[1].any()
+    # row 0 advanced
+    assert not np.allclose(np.asarray(states[0][0][0]),
+                           np.asarray(new_states[0][0][0]))
+
+
+def test_export_roundtrip(setup, tmp_path):
+    """Serialize -> deserialize -> identical outputs to the live step,
+    on the prefolded production input layout; zero_states_like
+    reconstructs the state table from the artifact alone."""
+    cfg, det, variables = setup
+    B = 2
+    exported = export_serve_step(det, variables, cfg, B, fold=True)
+    path = str(tmp_path / "model.stablehlo")
+    save_artifact(exported, path, artifact_meta(cfg, B, fold=True))
+    step_fn, meta = load_artifact(path)
+    assert meta["classes"] == ["car", "pedestrian"]
+    assert tuple(meta["frame_shape"]) == serve_input_shape(cfg, B)[1:]
+
+    raw = _frames(cfg, B, 2, seed=2)
+    assert stem_fold_hw(cfg.model) == (4, 4)
+    live = jax.jit(make_serve_step(det, variables))
+    states_a = det.init_states(B)
+    states_b = zero_states_like(exported)
+    for leaf_a, leaf_b in zip(jax.tree.leaves(states_a),
+                              jax.tree.leaves(states_b)):
+        assert leaf_a.shape == leaf_b.shape and leaf_a.dtype == leaf_b.dtype
+    off, on = jnp.zeros(B, bool), jnp.ones(B, bool)
+    for t in range(2):
+        ev = jnp.asarray(fold_ev_hw(raw[t]))
+        states_a, dets_a, valid_a = live(states_a, ev, off, on)
+        states_b, dets_b, valid_b = step_fn(states_b, ev, off, on)
+        np.testing.assert_allclose(np.asarray(dets_b), np.asarray(dets_a),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(valid_b),
+                                      np.asarray(valid_a))
+
+
+def test_engine_interleaved_streams(setup):
+    """Two streams interleaved through the engine match each stream run
+    alone through the raw step (slot isolation + state continuity)."""
+    cfg, det, variables = setup
+    B = 2
+    step = jax.jit(make_serve_step(det, variables))
+    shape = serve_input_shape(cfg, 1, fold=False)[1:]
+    frames = _frames(cfg, 1, 6, seed=3)[:, 0]  # [6, H, W, C]
+
+    engine = ServingEngine(step, det.init_states(B), shape,
+                           max_wait_ms=0.0)
+    try:
+        got = {"a": [], "b": []}
+        for t in range(3):
+            got["a"].append(engine.detect("a", frames[2 * t]))
+            got["b"].append(engine.detect("b", frames[2 * t + 1]))
+        assert engine.stats()["streams"] == 2
+    finally:
+        engine.close()
+
+    for name, idx in (("a", [0, 2, 4]), ("b", [1, 3, 5])):
+        states = det.init_states(B)
+        active = jnp.array([True, False])
+        for i, t in enumerate(idx):
+            ev = np.zeros((B,) + shape, np.uint8)
+            ev[0] = frames[t]
+            states, dets, valid = step(states, jnp.asarray(ev),
+                                       jnp.zeros(B, bool), active)
+            want = np.asarray(dets)[0][np.asarray(valid)[0]]
+            np.testing.assert_allclose(got[name][i], want,
+                                       rtol=1e-5, atol=1e-6)
+
+
+def test_engine_eviction_resets(setup):
+    """A third stream on a 2-slot engine evicts the LRU stream; the
+    evicted stream coming back starts from a reset state."""
+    cfg, det, variables = setup
+    B = 2
+    step = jax.jit(make_serve_step(det, variables))
+    shape = serve_input_shape(cfg, 1, fold=False)[1:]
+    frames = _frames(cfg, 1, 4, seed=4)[:, 0]
+
+    engine = ServingEngine(step, det.init_states(B), shape,
+                           max_wait_ms=0.0)
+    try:
+        engine.detect("a", frames[0])
+        engine.detect("b", frames[1])
+        engine.detect("c", frames[2])          # evicts "a" (LRU)
+        assert set(engine._slots) == {"b", "c"}
+        # "a" returns: must evict "b" and be reset, matching a cold run
+        d_back = engine.detect("a", frames[3])
+    finally:
+        engine.close()
+
+    states = det.init_states(B)
+    ev = np.zeros((B,) + shape, np.uint8)
+    ev[0] = frames[3]
+    _, dets, valid = step(states, jnp.asarray(ev), jnp.zeros(B, bool),
+                          jnp.array([True, False]))
+    want = np.asarray(dets)[0][np.asarray(valid)[0]]
+    np.testing.assert_allclose(d_back, want, rtol=1e-5, atol=1e-6)
+
+
+def test_engine_rejects_bad_frame(setup):
+    cfg, det, variables = setup
+    step = jax.jit(make_serve_step(det, variables))
+    shape = serve_input_shape(cfg, 1, fold=False)[1:]
+    engine = ServingEngine(step, det.init_states(2), shape)
+    try:
+        with pytest.raises(ValueError):
+            engine.detect("a", np.zeros((4, 4, 1), np.uint8))
+    finally:
+        engine.close()
+
+
+def test_http_server_smoke(setup):
+    """cli/serve.py's HTTP layer end-to-end on a live engine."""
+    import base64
+    import http.client
+    import threading
+
+    from cli.serve import make_server
+
+    cfg, det, variables = setup
+    step = jax.jit(make_serve_step(det, variables))
+    shape = serve_input_shape(cfg, 1, fold=False)[1:]
+    engine = ServingEngine(step, det.init_states(2), shape,
+                           max_wait_ms=0.0)
+    meta = artifact_meta(cfg, 2, fold=False)
+    server = make_server(engine, meta, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = server.server_address[:2]
+        conn = http.client.HTTPConnection(host, port, timeout=30)
+        conn.request("GET", "/v1/health")
+        r = conn.getresponse()
+        assert r.status == 200
+        import json
+        health = json.loads(r.read())
+        assert health["slots"] == 2
+
+        frame = _frames(cfg, 1, 1, seed=5)[0, 0]
+        body = json.dumps({
+            "stream": "cam0",
+            "frame_b64": base64.b64encode(frame.tobytes()).decode(),
+        })
+        conn.request("POST", "/v1/detect", body,
+                     {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 200, r.read()
+        out = json.loads(r.read())
+        assert "boxes" in out and isinstance(out["boxes"], list)
+        want = engine.detect("direct", frame)
+        assert len(out["boxes"]) == len(want)
+    finally:
+        server.shutdown()
+        engine.close()

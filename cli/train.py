@@ -65,6 +65,10 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--mesh", default=None, metavar="DP[xSP]",
+                    help="device mesh: '8' = 8-way data parallel, "
+                         "'4x2' = 4-way data x 2-way spatial (image "
+                         "height sharded; parallel/mesh.py)")
     ap.add_argument("--wandb-project", default=None,
                     help="also stream metrics to WandB (requires the "
                          "wandb package; reference: loggers/utils.py)")
@@ -129,7 +133,14 @@ def main():
                                      save_dir=args.save_dir,
                                      exp_name=args.exp_name))
 
-    trainer = Trainer(cfg, dtype=jnp.float32 if args.fp32 else jnp.bfloat16)
+    mesh = None
+    if args.mesh:
+        from leod_tpu.parallel.mesh import make_mesh
+        dp, _, sp = args.mesh.partition("x")
+        mesh = make_mesh(int(dp) * (int(sp) if sp else 1),
+                         space=int(sp) if sp else 1)
+    trainer = Trainer(cfg, dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
+                      mesh=mesh)
     if args.wandb_project:
         from leod_tpu.train.trainer import MetricLogger
         try:

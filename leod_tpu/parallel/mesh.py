@@ -1,12 +1,20 @@
-"""Device-mesh data parallelism.
+"""Device-mesh parallelism: data (batch/stream-slot) x space (image H).
 
 The reference's only parallelism is DDP over NCCL
 (reference: train.py:126-133; SURVEY.md section 2.6). The TPU-native
-equivalent: a 1-D `jax.sharding.Mesh` over all chips, batch (= stream
+equivalent: a `jax.sharding.Mesh` over all chips, batch (= stream
 slot) axis sharded, parameters replicated, gradient all-reduce inserted
 by XLA. The recurrent state table is sharded exactly like the batch so
 slot continuity is device-local; the per-slot frame gather (see
 train/step.py) never crosses shards.
+
+Beyond the reference: an optional second mesh axis shards the image
+HEIGHT of activations and LSTM state tables (SPMD spatial
+partitioning). XLA inserts halo exchanges for the convs and keeps the
+windowed attention local when the shard boundary lands on window rows
+(H/shards divisible by the partition size). This scales the dominant
+memory term — TBPTT activations at 1Mpx — by 1/space per chip, which a
+batch-only shard cannot do below B = num_devices.
 """
 from __future__ import annotations
 
@@ -17,11 +25,30 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPACE_AXIS = "space"
 
 
-def make_mesh(num_devices: Optional[int] = None) -> Mesh:
+def make_mesh(num_devices: Optional[int] = None, space: int = 1) -> Mesh:
+    """1-D data mesh, or a 2-D (data, space) mesh when `space` > 1.
+
+    Spatial sharding is single-controller only (the multi-host local-row
+    assembly below assumes one mesh axis of whole batch rows)."""
     devices = jax.devices()[:num_devices] if num_devices else jax.devices()
-    return Mesh(np.array(devices), (DATA_AXIS,))
+    if space <= 1:
+        return Mesh(np.array(devices), (DATA_AXIS,))
+    assert len(devices) % space == 0, (len(devices), space)
+    assert jax.process_count() == 1, "space sharding is single-controller"
+    grid = np.array(devices).reshape(len(devices) // space, space)
+    return Mesh(grid, (DATA_AXIS, SPACE_AXIS))
+
+
+def data_axis_size(mesh: Mesh) -> int:
+    """Batch rows must divide THIS, not the total device count."""
+    return mesh.shape[DATA_AXIS]
+
+
+def _space(mesh: Mesh) -> Optional[str]:
+    return SPACE_AXIS if SPACE_AXIS in mesh.axis_names else None
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -41,9 +68,11 @@ def _put_sharded(v, sharding: NamedSharding):
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
     """Place a host batch dict on the mesh with batch-axis sharding.
+    On a (data, space) mesh the event-frame height (dim 2 in every ev
+    layout: [L, B, H, W, C] raw or height-folded) is sharded too.
     Multi-host: `batch` holds this process's local rows (global slots
     [p*B_local, (p+1)*B_local)); the result is the global array."""
-    ev_s = NamedSharding(mesh, P(None, DATA_AXIS))      # [L, B, H, W, C]
+    ev_s = NamedSharding(mesh, P(None, DATA_AXIS, _space(mesh)))
     row_s = NamedSharding(mesh, P(DATA_AXIS))           # [B, ...]
     out = {}
     for k, v in batch.items():
@@ -74,13 +103,15 @@ def local_mesh(mesh: Mesh) -> Mesh:
 
 
 def shard_states(mesh: Mesh, states: Any) -> Any:
-    """LSTM state table rows follow their batch slots.
+    """LSTM state table rows follow their batch slots; on a
+    (data, space) mesh the state height [B, h, w, C] follows the
+    activation height shards too (no resharding at the scan carry).
 
     Multi-host: callers pass the GLOBAL-size zero table; each process
     contributes its local row block [p*B_local, (p+1)*B_local) — the
     state rows a process owns are exactly its batch slots (see
     Trainer.make_train_loader slot_offset)."""
-    s = NamedSharding(mesh, P(DATA_AXIS))
+    s = NamedSharding(mesh, P(DATA_AXIS, _space(mesh)))
     if not s.is_fully_addressable:
         p, n = jax.process_index(), jax.process_count()
 

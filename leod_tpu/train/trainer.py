@@ -192,9 +192,10 @@ def run_streaming_eval(det: Detector, variables, cfg: ExperimentConfig,
         sync_metrics = False
     B = min(B, len(seqs))
     if mesh is not None:
-        n_dev = mesh.devices.size
+        from ..parallel.mesh import data_axis_size
+        n_dev = data_axis_size(mesh)      # space shards hold whole rows
         if B >= n_dev:
-            B = (B // n_dev) * n_dev      # batch rows must divide the mesh
+            B = (B // n_dev) * n_dev      # batch rows must divide the axis
         else:
             mesh = None                   # fewer slots than chips
     loader = EvalStreamLoader(seqs, dst, B, time_flip=time_flip,
@@ -268,7 +269,9 @@ def run_streaming_eval(det: Detector, variables, cfg: ExperimentConfig,
 class Trainer:
     def __init__(self, cfg: ExperimentConfig, dtype=jnp.bfloat16,
                  mesh=None):
-        """mesh: a 1-D jax.sharding.Mesh for data parallelism (batch and
+        """mesh: a jax.sharding.Mesh — 1-D for data parallelism, or
+        2-D (data, space) from make_mesh(space=k) to also shard the
+        activation/state height k ways — (batch and
         LSTM state table sharded, parameters replicated). None = single
         device. The reference's only parallelism is DDP (train.py:126-133);
         this is its mesh equivalent."""

@@ -20,5 +20,11 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: model-sized CPU compiles dominate the
+# suite's ~20 min runtime; re-runs hit the cache instead (verified to
+# work on the CPU backend of the pinned jax version).
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 assert jax.devices()[0].platform == "cpu"
 assert len(jax.devices()) == 8

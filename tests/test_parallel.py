@@ -83,6 +83,73 @@ def test_single_vs_multi_device_equivalence(exp_cfg):
                                rtol=1e-4)
 
 
+def test_spatial_mesh_matches_single_device(exp_cfg):
+    """One jitted train step on a 2-D (data=4, space=2) mesh — image
+    height sharded through every conv (XLA halo exchange) and the LSTM
+    state table — gives the single-device loss."""
+    from leod_tpu.data.loader import (StreamTrainLoader, harvest_frames,
+                                      open_split_sequences)
+    from leod_tpu.parallel.mesh import (DATA_AXIS, SPACE_AXIS, shard_batch,
+                                        shard_states)
+    from leod_tpu.train.optim import make_optimizer
+    from leod_tpu.train.step import make_train_step
+
+    cfg = exp_cfg
+    trainer = Trainer(cfg, dtype=jnp.float32)
+    seqs = open_split_sequences(cfg.dataset, "train")
+    loader = StreamTrainLoader(seqs, cfg.dataset, 8, seed=0)
+    batch = next(iter(loader))
+    hb = harvest_frames(batch, 2, cfg.model.head.max_gt, (64, 96))
+    dev = {k: hb[k] for k in ("ev", "is_first", "frame_t", "frame_mask",
+                              "labels")}
+    optimizer, _ = make_optimizer(cfg.training)
+    step_fn = make_train_step(trainer.det, optimizer)
+
+    state1 = trainer.init_state(8, seed=0)
+    _, m1 = jax.jit(step_fn)(state1, dev)
+
+    mesh = make_mesh(space=2)
+    assert mesh.shape == {DATA_AXIS: 4, SPACE_AXIS: 2}
+    trainer2 = Trainer(cfg, dtype=jnp.float32, mesh=mesh)
+    trainer2.det = trainer.det
+    state2 = trainer2._place(trainer.init_state(8, seed=0))
+    # state table carries the (data, space) sharding into the scan
+    assert state2.states[0][0].sharding.spec[:2] == (DATA_AXIS, SPACE_AXIS)
+    assert len(state2.states[0][0].sharding.device_set) == 8
+    dev2 = shard_batch(mesh, dev)
+    assert dev2["ev"].sharding.spec[2] == SPACE_AXIS
+    new_state, m2 = jax.jit(step_fn)(state2, dev2)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    # updated state table keeps both shard axes (no silent replication)
+    assert len(new_state.states[0][0].sharding.device_set) == 8
+
+
+def test_spatial_mesh_fit_and_eval(exp_cfg):
+    """Full fit + streaming eval over the (data, space) mesh; eval
+    metrics match the 1-device evaluation exactly."""
+    from leod_tpu.models.detector import Detector
+    from leod_tpu.train.trainer import run_streaming_eval
+
+    mesh = make_mesh(space=2)
+    trainer = Trainer(exp_cfg, dtype=jnp.float32, mesh=mesh)
+    state = trainer.fit(max_steps=2)
+    assert int(state.step) == 2
+    for leaf in jax.tree.leaves(state.variables["params"]):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+    det = Detector(exp_cfg.model, dtype=jnp.float32)
+    variables = det.init(jax.random.PRNGKey(0), batch_size=1)
+    kw = dict(split="train", batch_size=2, frames_per_slot=4,
+              shard_index=0, num_shards=1)
+    m_single = run_streaming_eval(det, variables, exp_cfg, **kw)
+    m_mesh = run_streaming_eval(det, variables, exp_cfg,
+                                mesh=make_mesh(4, space=2), **kw)
+    for k, v in m_single.items():
+        np.testing.assert_allclose(m_mesh[k], v, rtol=1e-6,
+                                   err_msg=f"metric {k}")
+
+
 def test_mesh_eval_matches_single_device(exp_cfg):
     """run_streaming_eval over a device mesh (batch rows + LSTM state
     table sharded) reproduces the single-device metrics exactly."""

@@ -51,6 +51,11 @@ def main():
     ap.add_argument("--save-dir", default="./runs")
     ap.add_argument("--exp-name", default="leod_tpu")
     ap.add_argument("--val-every", type=int, default=None)
+    ap.add_argument("--ckpt-every-min", type=float, default=None,
+                    help="time-triggered checkpoint cadence in minutes "
+                         "(default 18; reference timer). Raise above the "
+                         "run length to skip mid-run saves — fit() always "
+                         "writes ckpt_last at the end")
     ap.add_argument("--max-det-frames", type=int, default=None,
                     help="per-slot labeled-frame harvest budget")
     ap.add_argument("--weight", default=None, help="weight-only init ckpt")
@@ -113,6 +118,8 @@ def main():
             tr.lr_scheduler, pct_start=args.warmup_pct))
     if args.val_every is not None:
         tr = dataclasses.replace(tr, val_check_interval=args.val_every)
+    if args.ckpt_every_min is not None:
+        tr = dataclasses.replace(tr, ckpt_every_min=args.ckpt_every_min)
     if args.max_det_frames is not None:
         tr = dataclasses.replace(tr, max_det_frames=args.max_det_frames)
     elif args.soft and cfg.model.use_label_every <= 1:

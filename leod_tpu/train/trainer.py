@@ -282,7 +282,14 @@ class Trainer:
         self.run_dir = os.path.join(cfg.save_dir, cfg.exp_name)
         os.makedirs(self.run_dir, exist_ok=True)
         self.logger = MetricLogger(os.path.join(self.run_dir, "metrics.jsonl"))
-        self._ckpt = (ocp.PyTreeCheckpointer() if ocp is not None else None)
+        # ASYNC checkpointer: save() returns after the device->host copy
+        # and the directory write completes on a background thread, so
+        # the train loop never stalls on checkpoint I/O (the reference
+        # blocks training for the full Lightning save). Back-to-back
+        # saves serialize inside orbax; read-back paths call
+        # wait_for_checkpoints() first.
+        self._ckpt = (ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+                      if ocp is not None else None)
         self._stop_requested = False
         # top-2 best-AP retention (reference: callbacks/custom.py:9-29,
         # save_top_k=2): ckpt_best = argmax val/AP, ckpt_best2 = runner-up
@@ -314,7 +321,16 @@ class Trainer:
             states=shard_states(self.mesh, state.states),
             step=replicate(self.mesh, state.step))
 
+    def wait_for_checkpoints(self):
+        """Block until every in-flight async checkpoint write is durable.
+        Multi-host: all ranks must call this (orbax commits collectively)."""
+        if self._ckpt is not None:
+            self._ckpt.wait_until_finished()
+
     def save_checkpoint(self, state: TrainState, name: str = "last"):
+        """Write ckpt_<name>. ASYNC: returns once the arrays are staged
+        to host; the actual directory write finishes in the background
+        (wait_for_checkpoints() makes it durable)."""
         if self._ckpt is None:
             return
         path = os.path.join(os.path.abspath(self.run_dir), f"ckpt_{name}")
@@ -347,6 +363,7 @@ class Trainer:
 
         Probes candidates via orbax metadata only — for fallback on an
         ACTUAL restore failure use restore_latest()."""
+        self.wait_for_checkpoints()
         for path in self._checkpoint_candidates():
             try:
                 self._ckpt.metadata(os.path.abspath(path))
@@ -361,6 +378,7 @@ class Trainer:
         corrupted, not just ones whose metadata is unreadable (reference:
         train.py:85-92 try-loads the ckpt and falls back to the
         second-newest). Returns (state, path-or-None)."""
+        self.wait_for_checkpoints()
         for path in self._checkpoint_candidates():
             try:
                 return self.restore_checkpoint(path, state), path
@@ -378,6 +396,9 @@ class Trainer:
         import shutil
 
         if ap > self._best_aps[0]:
+            # the previous ckpt_best write may still be in flight — it
+            # must land before the rename below moves its directory
+            self.wait_for_checkpoints()
             if self._best_aps[0] >= 0 and jax.process_index() == 0:
                 best = os.path.join(self.run_dir, "ckpt_best")
                 best2 = os.path.join(self.run_dir, "ckpt_best2")
@@ -392,6 +413,7 @@ class Trainer:
 
     def load_weights(self, path: str, state: TrainState) -> TrainState:
         """Weight-only resume (reference: modules/detection.py:583-594)."""
+        self.wait_for_checkpoints()     # the path may still be writing
         restored = load_checkpoint(path)
         variables = {"params": restored["params"],
                      "batch_stats": restored["batch_stats"]}
@@ -404,6 +426,7 @@ class Trainer:
 
         Restores the optimizer state against the live optax pytree
         structure (orbax round-trips namedtuples as plain dicts)."""
+        self.wait_for_checkpoints()     # the path may still be writing
         restored = load_checkpoint(path)
         if "best_aps" in restored:          # absent in older checkpoints
             self._best_aps = [float(v) for v in restored["best_aps"]]
@@ -657,6 +680,9 @@ class Trainer:
             # join the producer thread: an abandoned daemon thread dying
             # mid device-dispatch at interpreter exit aborts the process
             prefetcher.close()
+            # ckpt_last must be durable before fit() returns (a caller —
+            # or the preempting scheduler — may kill the process next)
+            self.wait_for_checkpoints()
             # always restore the handler and consume the stop request:
             # a stale flag or a leaked swallowing handler would make the
             # NEXT fit() exit immediately / ignore real SIGTERMs

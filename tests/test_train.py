@@ -155,6 +155,7 @@ def test_restore_latest_falls_back_on_corrupt_payload(exp_cfg, tmp_path):
     time.sleep(0.05)              # mtime-ordered candidates
     bad = state._replace(step=jnp.asarray(9, jnp.int32))
     trainer.save_checkpoint(bad, "b")
+    trainer.wait_for_checkpoints()      # saves are async; land b first
     bad_dir = os.path.join(trainer.run_dir, "ckpt_b")
     for f in glob.glob(os.path.join(bad_dir, "d", "*")):
         with open(f, "wb") as fh:
@@ -186,6 +187,7 @@ def test_best_checkpoint_top2_retention(exp_cfg, tmp_path):
 
     def step_of(name):
         from leod_tpu.train.trainer import load_checkpoint
+        trainer.wait_for_checkpoints()  # saves are async
         return int(load_checkpoint(
             os.path.join(trainer.run_dir, f"ckpt_{name}"))["step"])
 
@@ -205,6 +207,7 @@ def test_best_checkpoint_top2_retention(exp_cfg, tmp_path):
     # ckpt_best
     trainer.save_checkpoint(base._replace(step=jnp.asarray(9, jnp.int32)),
                             "last")
+    trainer.wait_for_checkpoints()  # t2 can't see trainer's in-flight save
     t2 = Trainer(cfg, dtype=jnp.float32)
     assert t2._best_aps == [-1.0, -1.0]
     st, path = t2.restore_latest(t2.init_state(cfg.training.batch_size_train))

@@ -158,9 +158,19 @@ def _bench_dataset(dataset: str, iters: int, latency: bool,
     mean/p50/p99 and train-step throughput).
 
     use_env_workload=False pins the reference workload (ride-along gen4
-    run): BENCH_BATCH/BENCH_SEQ_LEN/BENCH_SIZE overrides meant for the
-    primary dataset must not silently change the gen4 fields the driver
-    compares round over round."""
+    run): env overrides meant for the primary dataset — workload
+    (BENCH_BATCH/BENCH_SEQ_LEN/BENCH_SIZE) and kernel/layout probes
+    (BENCH_FUSED/BENCH_FOLD/BENCH_UNROLL) alike — must not silently
+    change the gen4 fields the driver compares round over round."""
+    if not use_env_workload:
+        pinned = ("BENCH_FUSED", "BENCH_FOLD", "BENCH_UNROLL",
+                  "BENCH_SIZE", "BENCH_BATCH", "BENCH_SEQ_LEN")
+        saved = {k: os.environ.pop(k) for k in pinned if k in os.environ}
+        try:
+            return _bench_dataset(dataset, iters, latency, train)
+        finally:
+            os.environ.update(saved)
+
     import jax
     import jax.numpy as jnp
 
@@ -173,8 +183,7 @@ def _bench_dataset(dataset: str, iters: int, latency: bool,
     if fused is None:
         raise SystemExit(f"BENCH_FUSED={fused_env!r}: expected 0|1|stage|"
                          f"stage1")
-    size = os.environ.get("BENCH_SIZE", "base") if use_env_workload \
-        else "base"
+    size = os.environ.get("BENCH_SIZE", "base")
     cfg = experiment_preset(dataset, size)
     det = Detector(cfg.model, dtype=jnp.bfloat16, fused_inference=fused)
     variables = det.init(jax.random.PRNGKey(0), batch_size=1)
@@ -185,11 +194,8 @@ def _bench_dataset(dataset: str, iters: int, latency: bool,
     # headline config
     B_def = "16" if dataset == "gen1" else "8"
     L_def = "21" if dataset == "gen1" else "5"
-    if use_env_workload:
-        B = int(os.environ.get("BENCH_BATCH", B_def))
-        L = int(os.environ.get("BENCH_SEQ_LEN", L_def))
-    else:
-        B, L = int(B_def), int(L_def)
+    B = int(os.environ.get("BENCH_BATCH", B_def))
+    L = int(os.environ.get("BENCH_SEQ_LEN", L_def))
     out = {"frames_per_s": round(
         _throughput(cfg, det, variables, B, L, iters), 2)}
     if latency:

@@ -68,10 +68,19 @@ def make_server(engine, meta, host: str = "0.0.0.0", port: int = 8000):
                 req = json.loads(self.rfile.read(n))
                 raw = base64.b64decode(req["frame_b64"])
                 frame = np.frombuffer(raw, np.uint8).reshape(frame_shape)
-                dets = engine.detect(str(req.get("stream", "default")),
-                                     frame)
             except (KeyError, ValueError, json.JSONDecodeError) as e:
                 self._reply(400, {"error": str(e)})
+                return
+            try:
+                dets = engine.detect(str(req.get("stream", "default")),
+                                     frame)
+            except ValueError as e:             # bad frame shape/dtype
+                self._reply(400, {"error": str(e)})
+                return
+            except Exception as e:  # engine closed / timeout / step crash
+                # a JSON 5xx keeps the error contract; letting it escape
+                # would reset the socket with no body
+                self._reply(503, {"error": f"{type(e).__name__}: {e}"})
                 return
             self._reply(200, {"boxes": [[round(float(v), 4) for v in row]
                                         for row in dets],
@@ -88,9 +97,9 @@ def main():
                     help="build the step live from a checkpoint instead")
     ap.add_argument("--dataset", default="gen1", choices=["gen1", "gen4"])
     ap.add_argument("--size", default="base", choices=["tiny", "small", "base"])
-    ap.add_argument("--batch-size", type=int, default=16,
-                    help="stream slots (live --ckpt mode only; artifacts "
-                         "carry their exported batch size)")
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="stream slots (live --ckpt mode only, default 16; "
+                         "artifacts carry their exported batch size)")
     ap.add_argument("--conf", type=float, default=None)
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8000)
@@ -111,6 +120,13 @@ def main():
                                 serve_input_shape, zero_states_like)
 
     if args.artifact:
+        # these knobs are baked into an exported program at export time —
+        # accepting them here would silently serve different behavior
+        # than the operator asked for
+        if args.conf is not None or args.fp32 or args.batch_size:
+            ap.error("--conf/--fp32/--batch-size are fixed at export "
+                     "time; re-export with cli/export.py or serve live "
+                     "via --ckpt")
         from jax import export as jax_export
         with open(args.artifact, "rb") as f:
             exported = jax_export.deserialize(bytearray(f.read()))
@@ -132,6 +148,8 @@ def main():
         from leod_tpu.models.detector import Detector
         from leod_tpu.train.trainer import load_checkpoint
 
+        if args.batch_size is None:
+            args.batch_size = 16
         cfg = derive(experiment_preset(args.dataset, args.size))
         det = Detector(cfg.model,
                        dtype=jnp.float32 if args.fp32 else jnp.bfloat16)

@@ -157,26 +157,24 @@ def main():
         except ImportError:
             print("wandb not installed; continuing with JSONL metrics only")
     state = None
-    if (args.auto_resume and not args.checkpoint
-            and trainer.latest_checkpoint()):
+    if args.auto_resume and not args.checkpoint:
         # restore_latest try-restores newest -> oldest so a checkpoint
         # with corrupted PAYLOAD (not just unreadable metadata) also
-        # falls back (reference: train.py:85-92)
+        # falls back (reference: train.py:85-92); nothing restorable
+        # returns (input state, None) and the chain below takes over
         state, latest = trainer.restore_latest(
             trainer.init_state(tr.batch_size_train, args.seed))
         if latest:
             print(f"auto-resumed from {latest}")
         else:
             state = None
-    if state is not None:
-        pass
-    elif args.checkpoint:
+    if state is None and args.checkpoint:
         state = trainer.restore_checkpoint(
             args.checkpoint, trainer.init_state(tr.batch_size_train, args.seed))
-    elif args.weight:
+    elif state is None and args.weight:
         state = trainer.load_weights(
             args.weight, trainer.init_state(tr.batch_size_train, args.seed))
-    elif args.torch_weight:
+    elif state is None and args.torch_weight:
         from leod_tpu.convert import check_compatible, load_torch_checkpoint
         state = trainer.init_state(tr.batch_size_train, args.seed)
         converted = load_torch_checkpoint(args.torch_weight)

@@ -93,6 +93,14 @@ def run_tta_eval(det: Detector, variables, cfg: ExperimentConfig,
     else:
         shard_index, num_shards = shard_index or 0, num_shards or 1
         sync_metrics = False
+        if num_shards > 1 and evaluator is None:
+            # a per-shard AP is statistically meaningless — the caller
+            # must collect one evaluator per shard and merge before
+            # evaluating (see docstring); returning it silently would
+            # masquerade as the split's metric
+            raise ValueError(
+                "explicit sharding needs an external `evaluator` "
+                "(merge the shards' buffers, then evaluate once)")
     if jax.process_count() > 1:
         # postprocess results are read back with numpy per shard, so the
         # weights must be host-local — but re-feed them to jit as a

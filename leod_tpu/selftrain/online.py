@@ -98,11 +98,13 @@ class OnlineSSODBatcher:
         # GLOBAL mesh; the teacher must run on this process's local
         # devices so its det/valid outputs are host-fetchable from the
         # prefetch thread (same reason trainer.evaluate pulls weights to
-        # host before re-replicating on the local mesh).  The replicated
-        # leaves are fully addressable, so np.asarray is a local read.
+        # host before re-replicating on the local mesh).  Replicated
+        # leaves hold a full copy on every device, so addressable_data(0)
+        # is a zero-copy local-device view — no tunnel roundtrip.
         self._multihost = jax.process_count() > 1
         if self._multihost:
-            variables = jax.tree_util.tree_map(np.asarray, variables)
+            variables = jax.tree_util.tree_map(
+                lambda x: x.addressable_data(0), variables)
         # copy=True: with an f32 student, asarray would alias the live
         # student buffers, which the train step donates (deleting the
         # teacher's leaves with them)
@@ -126,10 +128,12 @@ class OnlineSSODBatcher:
     # -- teacher maintenance (called by the fit loop after each step) ----
     def update_teacher(self, student_variables, step: int):
         if self._multihost:
-            # global-mesh student -> local host copy (replicated leaves),
-            # so the EMA jit never mixes device sets
+            # global-mesh student -> this process's device replica, so
+            # the EMA jit never mixes device sets. addressable_data(0)
+            # stays ON DEVICE — an np.asarray here would drag the full
+            # model host-side through the tunnel every optimizer step
             student_variables = jax.tree_util.tree_map(
-                np.asarray, student_variables)
+                lambda x: x.addressable_data(0), student_variables)
         with self._teacher_lock:
             self.teacher_vars = self._update(self.teacher_vars,
                                              student_variables, step)

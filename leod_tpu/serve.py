@@ -244,6 +244,17 @@ class ServingEngine:
             self._pending.append(req)
             self._wake.notify()
         if not req.event.wait(timeout):
+            # withdraw the abandoned request if the worker has not taken
+            # it yet — otherwise a retry of the same frame would advance
+            # the stream's LSTM state twice and dead clients' requests
+            # would pile up in _pending forever. If it WAS already taken
+            # the step ran (or is running) with this frame; the timeout
+            # is still reported, the state advance happened once.
+            with self._lock:
+                try:
+                    self._pending.remove(req)
+                except ValueError:
+                    pass
             raise TimeoutError(f"stream {stream}: no step within {timeout}s")
         if req.error is not None:
             raise req.error
@@ -311,7 +322,16 @@ class ServingEngine:
                     if self._closed:
                         return
                 batch = self._take_batch()
-                rows = [self._assign_slot(r.stream) for r in batch]
+                # assign RESIDENT streams before new ones: arrival order
+                # would let a new stream LRU-evict a resident that has a
+                # request in this very batch, resetting its LSTM state
+                # mid-stream when an idle slot could have been taken
+                order = sorted(range(len(batch)),
+                               key=lambda i: batch[i].stream not in
+                               self._slots)
+                rows: List = [None] * len(batch)
+                for i in order:
+                    rows[i] = self._assign_slot(batch[i].stream)
             try:
                 ev = np.zeros((self.batch_size,) + self.frame_shape,
                               self.frame_dtype)

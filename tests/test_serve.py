@@ -251,3 +251,93 @@ def test_http_server_smoke(setup):
     finally:
         server.shutdown()
         engine.close()
+
+
+def test_engine_resident_streams_assigned_first():
+    """A micro-batch containing a NEW stream plus a RESIDENT stream must
+    keep the resident's slot (evicting an idle stream), regardless of
+    arrival order — otherwise the new stream LRU-evicts the resident and
+    its LSTM state is reset mid-stream (serve.py _loop ordering)."""
+    import threading
+    import time as _time
+
+    B = 2
+    shape = (4, 4, 2)
+    ran = []
+
+    def fake_step(states, ev, reset, active):
+        ran.append(np.asarray(reset).copy())
+        dets = np.zeros((B, 3, 7), np.float32)
+        return states, dets, np.asarray(active)[:, None] & np.ones(
+            (B, 3), bool)
+
+    zero = {"h": np.zeros((B, 2), np.float32)}
+    engine = ServingEngine(fake_step, zero, shape, max_wait_ms=50.0)
+    frame = np.zeros(shape, np.uint8)
+    try:
+        engine.detect("a", frame)
+        engine.detect("b", frame)          # slots full: {a, b}, LRU=[a, b]
+        slot_a = engine._slots["a"]
+        # c (new) and a (resident) race into ONE coalesced batch, c first
+        errs = []
+
+        def send(name):
+            try:
+                engine.detect(name, frame)
+            except Exception as e:         # pragma: no cover
+                errs.append(e)
+
+        t1 = threading.Thread(target=send, args=("c",))
+        t2 = threading.Thread(target=send, args=("a",))
+        t1.start()
+        _time.sleep(0.005)
+        t2.start()
+        t1.join()
+        t2.join()
+        assert not errs
+        # resident "a" kept its slot; idle "b" was the eviction victim
+        assert engine._slots["a"] == slot_a
+        assert "b" not in engine._slots and "c" in engine._slots
+        # and "a" was never reset after its first frame
+        resets_for_a = [r[slot_a] for r in ran[1:]]
+        assert not any(resets_for_a)
+    finally:
+        engine.close()
+
+
+def test_engine_timeout_withdraws_pending_request():
+    """A detect() that times out while still QUEUED is withdrawn from
+    _pending, so the worker never runs the abandoned frame (which would
+    advance the stream's recurrent state behind the client's back)."""
+    import threading
+
+    B = 2
+    shape = (4, 4, 2)
+    release = threading.Event()
+    seen_streams = []
+
+    def slow_step(states, ev, reset, active):
+        release.wait(30)
+        dets = np.zeros((B, 3, 7), np.float32)
+        return states, dets, np.asarray(active)[:, None] & np.ones(
+            (B, 3), bool)
+
+    zero = {"h": np.zeros((B, 2), np.float32)}
+    engine = ServingEngine(slow_step, zero, shape, max_wait_ms=0.0)
+    frame = np.zeros(shape, np.uint8)
+    try:
+        # occupy the worker with x's step (blocked in slow_step)
+        tx = threading.Thread(target=lambda: engine.detect("x", frame))
+        tx.start()
+        import time as _time
+        _time.sleep(0.1)                    # worker is inside slow_step
+        with pytest.raises(TimeoutError):
+            engine.detect("y", frame, timeout=0.2)
+        with engine._lock:
+            assert engine._pending == []    # y withdrawn, not zombie
+        release.set()
+        tx.join()
+        assert "y" not in engine._slots     # y's frame never ran
+    finally:
+        release.set()
+        engine.close()

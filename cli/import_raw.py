@@ -46,6 +46,8 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from leod_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
 
     from leod_tpu.data.import_raw import _parse_class_map, import_split
 

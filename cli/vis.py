@@ -44,6 +44,8 @@ def main():
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    from leod_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import cv2
     import jax
     import jax.numpy as jnp

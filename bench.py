@@ -75,6 +75,8 @@ def make_ev(cfg, B, L, seed: int = 1):
         fh = 1
     elif mode == "none":
         fh = fw = 1
+    elif mode != "hw":
+        raise SystemExit(f"BENCH_FOLD={mode!r}: expected hw|w|none")
     return (jax.random.uniform(jax.random.PRNGKey(seed),
                                (L, B, h // fh, w // fw, fh * fw * c))
             * 32).astype(jnp.uint8)
@@ -253,30 +255,18 @@ def _trace_step_percentiles(out_dir: str, iters: int):
     diff its start timestamps (iterations serialize through the carried
     state, so consecutive starts bound each step). Returns (None, None)
     if no per-iteration marker op is found."""
-    import glob
-    import gzip
-
     import numpy as np
 
-    paths = glob.glob(os.path.join(
-        out_dir, "plugins", "profile", "*", "*.trace.json.gz"))
-    if not paths:
+    from leod_tpu.utils.trace import is_scan_wrapper, load_device_events
+
+    path, _, dev_events = load_device_events(out_dir)
+    if path is None:
         return None, None
-    with gzip.open(max(paths, key=os.path.getmtime), "rt") as f:
-        trace = json.load(f)
-    events = trace["traceEvents"]
-    pid_names = {e["pid"]: e["args"].get("name", "")
-                 for e in events if e.get("ph") == "M"
-                 and e.get("name") == "process_name"}
-    dev_pids = {pid for pid, n in pid_names.items()
-                if "TPU" in n or "/device" in n.lower() or "XLA Op" in n}
     starts: dict = {}
     durs: dict = {}
-    for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
-            continue
+    for e in dev_events:
         name = e.get("name", "?")
-        if name.startswith("jit_") or name.lstrip("%").startswith("while"):
+        if is_scan_wrapper(name):
             continue
         starts.setdefault(name, []).append(e.get("ts", 0))
         durs[name] = durs.get(name, 0.0) + e.get("dur", 0)

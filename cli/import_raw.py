@@ -15,9 +15,10 @@ leod_tpu/data/import_raw.py for the format contract.
         --class-map 0:0,1:1,2:2
 """
 import argparse
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

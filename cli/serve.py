@@ -118,7 +118,7 @@ def main():
     import jax.numpy as jnp
 
     from leod_tpu.serve import (ServingEngine, artifact_meta,
-                                load_artifact, make_serve_step,
+                                load_artifact_exported, make_serve_step,
                                 serve_input_shape, zero_states_like)
 
     if args.artifact:
@@ -129,14 +129,8 @@ def main():
             ap.error("--conf/--fp32/--batch-size are fixed at export "
                      "time; re-export with cli/export.py or serve live "
                      "via --ckpt")
-        from jax import export as jax_export
-        with open(args.artifact, "rb") as f:
-            exported = jax_export.deserialize(bytearray(f.read()))
-        step_fn, meta = jax.jit(exported.call), {}
-        meta_path = args.artifact + ".json"
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                meta = json.load(f)
+        exported, meta = load_artifact_exported(args.artifact)
+        step_fn = jax.jit(exported.call)
         states = zero_states_like(exported)
         frame_shape = tuple(meta["frame_shape"]) if "frame_shape" in meta \
             else None

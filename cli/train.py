@@ -158,30 +158,32 @@ def main():
                 config={"dataset": args.dataset, "size": args.size}))
         except ImportError:
             print("wandb not installed; continuing with JSONL metrics only")
+    # the jitted model+optimizer init is a model-sized compile (~20-40 s
+    # on TPU): build ONE template state and thread it through the whole
+    # resume chain instead of re-initializing per branch
     state = None
+    base = (trainer.init_state(tr.batch_size_train, args.seed)
+            if (args.auto_resume or args.checkpoint or args.weight
+                or args.torch_weight) else None)
     if args.auto_resume and not args.checkpoint:
         # restore_latest try-restores newest -> oldest so a checkpoint
         # with corrupted PAYLOAD (not just unreadable metadata) also
         # falls back (reference: train.py:85-92); nothing restorable
         # returns (input state, None) and the chain below takes over
-        state, latest = trainer.restore_latest(
-            trainer.init_state(tr.batch_size_train, args.seed))
+        state, latest = trainer.restore_latest(base)
         if latest:
             print(f"auto-resumed from {latest}")
         else:
             state = None
     if state is None and args.checkpoint:
-        state = trainer.restore_checkpoint(
-            args.checkpoint, trainer.init_state(tr.batch_size_train, args.seed))
+        state = trainer.restore_checkpoint(args.checkpoint, base)
     elif state is None and args.weight:
-        state = trainer.load_weights(
-            args.weight, trainer.init_state(tr.batch_size_train, args.seed))
+        state = trainer.load_weights(args.weight, base)
     elif state is None and args.torch_weight:
         from leod_tpu.convert import check_compatible, load_torch_checkpoint
-        state = trainer.init_state(tr.batch_size_train, args.seed)
         converted = load_torch_checkpoint(args.torch_weight)
-        check_compatible(converted, jax.device_get(state.variables))
-        state = state._replace(variables=jax.device_put(converted))
+        check_compatible(converted, jax.device_get(base.variables))
+        state = base._replace(variables=jax.device_put(converted))
     final = trainer.fit(seed=args.seed, state=state,
                         profile_steps=args.profile_steps)
     print(f"done at step {int(final.step)}")

@@ -476,6 +476,12 @@ class Prefetcher:
                 return
             yield x
 
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
     def close(self):
         """Stop the producer and JOIN the thread. Consumers that break
         out of the iteration early (fit() at max_steps) must call this:

@@ -131,59 +131,62 @@ def run_tta_eval(det: Detector, variables, cfg: ExperimentConfig,
                                   num_shards=num_shards)
         B_dev = B_eff * 2 if hflip else B_eff
         states = det.init_states(B_dev)
-        for batch in Prefetcher(iter(loader)):
-            ev = batch["ev"]
-            if hflip:
-                dev_in = dict(batch)
-                dev_in["ev"] = np.concatenate([ev, ev[..., ::-1]], axis=1)
-                dev_in["is_first"] = np.concatenate([batch["is_first"]] * 2)
-                dev_in["labels"] = [row * 2 for row in batch["labels"]]
-            else:
-                dev_in = batch
-            while True:
-                hb = harvest_frames(dev_in, M, cfg.model.head.max_gt,
-                                    cfg.model.backbone.in_res_hw,
-                                    fold_hw=stem_fold_hw(cfg.model))
-                if not hb["dropped_frames"]:
-                    break
-                # eval must never drop labeled frames (same auto-regrow
-                # as run_streaming_eval)
-                M = int(hb["max_slot_frames"])
-                print(f"tta harvest budget grown to {M}/slot "
-                      f"(recompiling eval step)", flush=True)
-            dev = {k: hb[k] for k in ("ev", "is_first", "frame_t",
-                                      "frame_mask", "labels")}
-            states, preds = eval_step(variables, states, dev)
-            if hb["num_frames"] == 0:
-                continue
-            dets, valid = postprocess(preds, num_classes=n_cls,
-                                      conf_threshold=pp.confidence_threshold,
-                                      nms_threshold=pp.nms_threshold,
-                                      pre_topk=pp.pre_nms_topk,
-                                      max_dets=pp.max_dets)
-            dets, valid = np.asarray(dets), np.asarray(valid)
-            for brow in range(len(hb["boxes"])):
-                b = brow % B_eff
-                is_h = brow >= B_eff
-                path = batch["paths"][b]
-                if not path:
+        with Prefetcher(iter(loader)) as prefetcher:
+            # closed on exceptions too: an abandoned producer thread
+            # dying mid device-dispatch aborts the process (loader.py)
+            for batch in prefetcher:
+                ev = batch["ev"]
+                if hflip:
+                    dev_in = dict(batch)
+                    dev_in["ev"] = np.concatenate([ev, ev[..., ::-1]], axis=1)
+                    dev_in["is_first"] = np.concatenate([batch["is_first"]] * 2)
+                    dev_in["labels"] = [row * 2 for row in batch["labels"]]
+                else:
+                    dev_in = batch
+                while True:
+                    hb = harvest_frames(dev_in, M, cfg.model.head.max_gt,
+                                        cfg.model.backbone.in_res_hw,
+                                        fold_hw=stem_fold_hw(cfg.model))
+                    if not hb["dropped_frames"]:
+                        break
+                    # eval must never drop labeled frames (same auto-regrow
+                    # as run_streaming_eval)
+                    M = int(hb["max_slot_frames"])
+                    print(f"tta harvest budget grown to {M}/slot "
+                          f"(recompiling eval step)", flush=True)
+                dev = {k: hb[k] for k in ("ev", "is_first", "frame_t",
+                                          "frame_mask", "labels")}
+                states, preds = eval_step(variables, states, dev)
+                if hb["num_frames"] == 0:
                     continue
-                rec = results.setdefault(path, _SeqResult(dst.loading_hw[1]))
-                for m in range(M):
-                    gt = hb["boxes"][brow][m]
-                    if gt is None:
+                dets, valid = postprocess(preds, num_classes=n_cls,
+                                          conf_threshold=pp.confidence_threshold,
+                                          nms_threshold=pp.nms_threshold,
+                                          pre_topk=pp.pre_nms_topk,
+                                          max_dets=pp.max_dets)
+                dets, valid = np.asarray(dets), np.asarray(valid)
+                for brow in range(len(hb["boxes"])):
+                    b = brow % B_eff
+                    is_h = brow >= B_eff
+                    path = batch["paths"][b]
+                    if not path:
                         continue
-                    t = int(hb["frame_t"][brow, m])
-                    ev_i = int(batch["ev_idx"][b, t])
-                    if ev_i < 0:
-                        continue
-                    row = brow * M + m
-                    d = dets[row][valid[row]]
-                    rec.add(ev_i, gt if not is_h else None, d,
-                            is_hflip=is_h, is_tflip=time_flip,
-                            tflip_offset=dst.tflip_offset)
-                if bool(batch["is_last"][b]) and not time_flip:
-                    rec.ended = True
+                    rec = results.setdefault(path, _SeqResult(dst.loading_hw[1]))
+                    for m in range(M):
+                        gt = hb["boxes"][brow][m]
+                        if gt is None:
+                            continue
+                        t = int(hb["frame_t"][brow, m])
+                        ev_i = int(batch["ev_idx"][b, t])
+                        if ev_i < 0:
+                            continue
+                        row = brow * M + m
+                        d = dets[row][valid[row]]
+                        rec.add(ev_i, gt if not is_h else None, d,
+                                is_hflip=is_h, is_tflip=time_flip,
+                                tflip_offset=dst.tflip_offset)
+                    if bool(batch["is_last"][b]) and not time_flip:
+                        rec.ended = True
         for s in seqs:
             s.close()
 

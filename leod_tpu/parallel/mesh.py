@@ -33,6 +33,11 @@ def make_mesh(num_devices: Optional[int] = None, space: int = 1) -> Mesh:
 
     Spatial sharding is single-controller only (the multi-host local-row
     assembly below assumes one mesh axis of whole batch rows)."""
+    if num_devices is not None and num_devices > len(jax.devices()):
+        raise ValueError(
+            f"mesh wants {num_devices} devices, only {len(jax.devices())} "
+            f"exist — silently training at a smaller parallel degree "
+            f"would misreport the recipe")
     devices = jax.devices()[:num_devices] if num_devices else jax.devices()
     if space <= 1:
         return Mesh(np.array(devices), (DATA_AXIS,))

@@ -38,6 +38,17 @@ from ..train.step import make_eval_step
 from .filters import pred_to_label
 
 
+def _local_replica(tree):
+    """Replace leaves sharded/replicated across >1 device with a
+    zero-copy single-device view (addressable_data(0)). Identity for
+    plain single-device arrays and numpy leaves."""
+    def f(x):
+        if isinstance(x, jax.Array) and len(x.sharding.device_set) > 1:
+            return x.addressable_data(0)
+        return x
+    return jax.tree_util.tree_map(f, tree)
+
+
 def make_teacher_update(method: str = "ema", alpha: float = 0.999):
     """-> update(teacher_vars, student_vars, step) -> teacher_vars.
 
@@ -94,17 +105,14 @@ class OnlineSSODBatcher:
         self.det = det
         self.cfg = cfg
         self.oc = oc
-        # Under multi-host the student variables live replicated on the
-        # GLOBAL mesh; the teacher must run on this process's local
-        # devices so its det/valid outputs are host-fetchable from the
-        # prefetch thread (same reason trainer.evaluate pulls weights to
-        # host before re-replicating on the local mesh).  Replicated
-        # leaves hold a full copy on every device, so addressable_data(0)
-        # is a zero-copy local-device view — no tunnel roundtrip.
-        self._multihost = jax.process_count() > 1
-        if self._multihost:
-            variables = jax.tree_util.tree_map(
-                lambda x: x.addressable_data(0), variables)
+        # Under a mesh (single-host OR multi-host) the student variables
+        # live replicated across devices; the teacher must run on ONE
+        # local device so its det/valid outputs are host-fetchable from
+        # the prefetch thread and never mix device sets with the
+        # single-device teacher state table. Replicated leaves hold a
+        # full copy on every device, so addressable_data(0) is a
+        # zero-copy single-device view — no host/tunnel roundtrip.
+        variables = _local_replica(variables)
         # copy=True: with an f32 student, asarray would alias the live
         # student buffers, which the train step donates (deleting the
         # teacher's leaves with them)
@@ -127,13 +135,11 @@ class OnlineSSODBatcher:
 
     # -- teacher maintenance (called by the fit loop after each step) ----
     def update_teacher(self, student_variables, step: int):
-        if self._multihost:
-            # global-mesh student -> this process's device replica, so
-            # the EMA jit never mixes device sets. addressable_data(0)
-            # stays ON DEVICE — an np.asarray here would drag the full
-            # model host-side through the tunnel every optimizer step
-            student_variables = jax.tree_util.tree_map(
-                lambda x: x.addressable_data(0), student_variables)
+        # mesh-replicated student -> one local device replica, so the
+        # EMA jit never mixes device sets. addressable_data(0) stays ON
+        # DEVICE — an np.asarray here would drag the full model
+        # host-side through the tunnel every optimizer step
+        student_variables = _local_replica(student_variables)
         with self._teacher_lock:
             self.teacher_vars = self._update(self.teacher_vars,
                                              student_variables, step)

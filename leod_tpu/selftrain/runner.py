@@ -83,40 +83,43 @@ class PseudoLabelRunner:
         n_cls = cfg.model.head.num_classes
         hw = dst.loading_hw
 
-        for batch in Prefetcher(iter(loader)):
-            lens.reset(batch["is_first"])
-            if hflip:
-                dev_in = dict(batch)
-                dev_in["ev"] = np.concatenate(
-                    [batch["ev"], batch["ev"][..., ::-1]], axis=1)
-                dev_in["is_first"] = np.concatenate([batch["is_first"]] * 2)
-                dev_in["labels"] = [row * 2 for row in batch["labels"]]
-                dev_in["is_padded"] = np.concatenate(
-                    [batch["is_padded"]] * 2)
-            else:
-                dev_in = batch
-            hb = harvest_frames(
-                {**dev_in, "labels": [[None] * dev_in["ev"].shape[1]
-                                      for _ in range(L)]},
-                frames_per_slot=L, max_gt=1,
-                pad_hw=cfg.model.backbone.in_res_hw,
-                fold_hw=stem_fold_hw(cfg.model))
-            # predict on ALL timesteps; host decides what to keep
-            hb["frame_t"] = np.tile(np.arange(L, dtype=np.int32),
-                                    (dev_in["ev"].shape[1], 1))
-            hb["frame_mask"] = np.ones_like(hb["frame_t"], bool)
-            dev = {k: hb[k] for k in ("ev", "is_first", "frame_t",
-                                      "frame_mask", "labels")}
-            states, preds = eval_step(self.variables, states, dev)
-            dets, valid = postprocess(preds, num_classes=n_cls,
-                                      conf_threshold=pp.confidence_threshold,
-                                      nms_threshold=pp.nms_threshold,
-                                      pre_topk=pp.pre_nms_topk,
-                                      max_dets=pp.max_dets)
-            dets, valid = np.asarray(dets), np.asarray(valid)
-            self._consume(batch, dets, valid, L, B, hflip, time_flip, hw,
-                          lens.lens.copy())
-            lens.add(L)
+        with Prefetcher(iter(loader)) as prefetcher:
+            # closed on exceptions too: an abandoned producer thread
+            # dying mid device-dispatch aborts the process (loader.py)
+            for batch in prefetcher:
+                lens.reset(batch["is_first"])
+                if hflip:
+                    dev_in = dict(batch)
+                    dev_in["ev"] = np.concatenate(
+                        [batch["ev"], batch["ev"][..., ::-1]], axis=1)
+                    dev_in["is_first"] = np.concatenate([batch["is_first"]] * 2)
+                    dev_in["labels"] = [row * 2 for row in batch["labels"]]
+                    dev_in["is_padded"] = np.concatenate(
+                        [batch["is_padded"]] * 2)
+                else:
+                    dev_in = batch
+                hb = harvest_frames(
+                    {**dev_in, "labels": [[None] * dev_in["ev"].shape[1]
+                                          for _ in range(L)]},
+                    frames_per_slot=L, max_gt=1,
+                    pad_hw=cfg.model.backbone.in_res_hw,
+                    fold_hw=stem_fold_hw(cfg.model))
+                # predict on ALL timesteps; host decides what to keep
+                hb["frame_t"] = np.tile(np.arange(L, dtype=np.int32),
+                                        (dev_in["ev"].shape[1], 1))
+                hb["frame_mask"] = np.ones_like(hb["frame_t"], bool)
+                dev = {k: hb[k] for k in ("ev", "is_first", "frame_t",
+                                          "frame_mask", "labels")}
+                states, preds = eval_step(self.variables, states, dev)
+                dets, valid = postprocess(preds, num_classes=n_cls,
+                                          conf_threshold=pp.confidence_threshold,
+                                          nms_threshold=pp.nms_threshold,
+                                          pre_topk=pp.pre_nms_topk,
+                                          max_dets=pp.max_dets)
+                dets, valid = np.asarray(dets), np.asarray(valid)
+                self._consume(batch, dets, valid, L, B, hflip, time_flip, hw,
+                              lens.lens.copy())
+                lens.add(L)
         for s in seqs:
             s.close()
 

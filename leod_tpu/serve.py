@@ -153,11 +153,12 @@ def save_artifact(exported: jax_export.Exported, path: str,
         json.dump(meta, f, indent=2)
 
 
-def load_artifact(path: str) -> Tuple[Callable, Dict[str, Any]]:
-    """Deserialize an exported artifact -> (step_fn, meta).
-
-    step_fn(states, ev, reset, active) executes the compiled program on
-    the current backend (it must be one of the export platforms)."""
+def load_artifact_exported(path: str
+                           ) -> Tuple[jax_export.Exported, Dict[str, Any]]:
+    """Deserialize an exported artifact -> (Exported, meta). The single
+    owner of the on-disk convention (serialized StableHLO + '<path>.json'
+    sidecar); callers needing the raw Exported (input avals, in_tree)
+    use this, everyone else uses load_artifact."""
     with open(path, "rb") as f:
         exported = jax_export.deserialize(bytearray(f.read()))
     meta_path = path + ".json"
@@ -165,6 +166,15 @@ def load_artifact(path: str) -> Tuple[Callable, Dict[str, Any]]:
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
+    return exported, meta
+
+
+def load_artifact(path: str) -> Tuple[Callable, Dict[str, Any]]:
+    """Deserialize an exported artifact -> (step_fn, meta).
+
+    step_fn(states, ev, reset, active) executes the compiled program on
+    the current backend (it must be one of the export platforms)."""
+    exported, meta = load_artifact_exported(path)
     return jax.jit(exported.call), meta
 
 
@@ -322,6 +332,10 @@ class ServingEngine:
                     if self._closed:
                         return
                 batch = self._take_batch()
+                if not batch:
+                    # every coalesced request was withdrawn by a timeout;
+                    # don't burn a device step on an all-idle batch
+                    continue
                 # assign RESIDENT streams before new ones: arrival order
                 # would let a new stream LRU-evict a resident that has a
                 # request in this very batch, resetting its LSTM state

@@ -214,53 +214,60 @@ def run_streaming_eval(det: Detector, variables, cfg: ExperimentConfig,
         states = shard_states(mesh, states)
     n_cls = cfg.model.head.num_classes
     prefetcher = Prefetcher(iter(loader))
-    for bi, batch in enumerate(prefetcher):
-        if max_batches is not None and bi >= max_batches:
-            prefetcher.close()       # join the producer before moving on
-            break
-        while True:
-            hb = harvest_frames(batch, M, cfg.model.head.max_gt,
-                                cfg.model.backbone.in_res_hw,
-                                fold_hw=stem_fold_hw(cfg.model))
-            if not hb["dropped_frames"]:
+    try:
+        for bi, batch in enumerate(prefetcher):
+            if max_batches is not None and bi >= max_batches:
                 break
-            # dropped eval frames would silently bias mAP (the reference
-            # harvests ragged and can never drop, modules/utils/
-            # detection.py:27-58): auto-regrow the static budget to this
-            # batch's demand and re-harvest. M only grows, so this
-            # recompiles eval_step at most a few times per run.
-            M = int(hb["max_slot_frames"])
-            print(f"eval harvest budget grown to {M}/slot (recompiling "
-                  f"eval step)", flush=True)
-        dev = {k: hb[k] for k in ("ev", "is_first", "frame_t", "frame_mask",
-                                  "labels")}
-        if mesh is not None:
-            from ..parallel.mesh import shard_batch
-            dev = shard_batch(mesh, dev)
-        states, preds = eval_step(variables, states, dev)
-        if hb["num_frames"] == 0:
-            continue
-        dets, valid = postprocess(preds, num_classes=n_cls,
-                                  conf_threshold=conf,
-                                  nms_threshold=pp.nms_threshold,
-                                  pre_topk=pp.pre_nms_topk,
-                                  max_dets=pp.max_dets)
-        dets = np.asarray(dets)
-        valid = np.asarray(valid)
-        # rows are (b, m) flattened with b outer
-        Mslot = hb["frame_t"].shape[1]
-        for b in range(len(hb["boxes"])):
-            for m in range(Mslot):
-                lab = hb["boxes"][b][m]
-                if lab is None:
-                    continue
-                row = b * Mslot + m
-                d = dets[row][valid[row]]
-                gt, dt = boxes_to_prophesee(lab, d if len(d) else None)
-                evaluator.add_labels([gt])
-                evaluator.add_predictions([dt])
-    for s in seqs:
-        s.close()
+            while True:
+                hb = harvest_frames(batch, M, cfg.model.head.max_gt,
+                                    cfg.model.backbone.in_res_hw,
+                                    fold_hw=stem_fold_hw(cfg.model))
+                if not hb["dropped_frames"]:
+                    break
+                # dropped eval frames would silently bias mAP (the
+                # reference harvests ragged and can never drop,
+                # modules/utils/detection.py:27-58): auto-regrow the
+                # static budget to this batch's demand and re-harvest.
+                # M only grows, so this recompiles eval_step at most a
+                # few times per run.
+                M = int(hb["max_slot_frames"])
+                print(f"eval harvest budget grown to {M}/slot "
+                      f"(recompiling eval step)", flush=True)
+            dev = {k: hb[k] for k in ("ev", "is_first", "frame_t",
+                                      "frame_mask", "labels")}
+            if mesh is not None:
+                from ..parallel.mesh import shard_batch
+                dev = shard_batch(mesh, dev)
+            states, preds = eval_step(variables, states, dev)
+            if hb["num_frames"] == 0:
+                continue
+            dets, valid = postprocess(preds, num_classes=n_cls,
+                                      conf_threshold=conf,
+                                      nms_threshold=pp.nms_threshold,
+                                      pre_topk=pp.pre_nms_topk,
+                                      max_dets=pp.max_dets)
+            dets = np.asarray(dets)
+            valid = np.asarray(valid)
+            # rows are (b, m) flattened with b outer
+            Mslot = hb["frame_t"].shape[1]
+            for b in range(len(hb["boxes"])):
+                for m in range(Mslot):
+                    lab = hb["boxes"][b][m]
+                    if lab is None:
+                        continue
+                    row = b * Mslot + m
+                    d = dets[row][valid[row]]
+                    gt, dt = boxes_to_prophesee(lab, d if len(d) else None)
+                    evaluator.add_labels([gt])
+                    evaluator.add_predictions([dt])
+    finally:
+        # join the producer even on an exception path (and on the
+        # max_batches early break): an abandoned daemon thread dying
+        # mid device-dispatch at interpreter exit aborts the process
+        # (loader.py Prefetcher.close)
+        prefetcher.close()
+        for s in seqs:
+            s.close()
     if sync_metrics:
         allgather_evaluator(evaluator)
     return evaluator.evaluate()

@@ -234,3 +234,20 @@ def test_online_ssod_fit(ssod_exp_cfg):
         recs = [json.loads(l) for l in f]
     assert len(recs) == 3
     assert all(np.isfinite(r["loss"]) for r in recs)
+
+
+def test_online_ssod_fit_on_mesh(ssod_exp_cfg):
+    """Online SSOD over a single-host device mesh: the mesh-replicated
+    student must not mix device sets with the single-device teacher
+    (online.py _local_replica — a bare copy of the replicated tree used
+    to crash the eval_step/EMA jits with 'incompatible devices')."""
+    import jax
+    from leod_tpu.parallel.mesh import make_mesh
+    from leod_tpu.train.trainer import Trainer
+
+    trainer = Trainer(ssod_exp_cfg, dtype=jnp.float32,
+                      mesh=make_mesh(2))   # cfg batch is 2: 1 row/device
+    state = trainer.fit(max_steps=2, eval_split="val", log_every=1)
+    assert int(state.step) == 2
+    for leaf in jax.tree.leaves(state.variables["params"]):
+        assert np.all(np.isfinite(np.asarray(leaf)))

@@ -12,9 +12,6 @@ Usage: python tools/trace_agg.py [out_dir]
 Env: PROF_BATCH (16), PROF_ITERS (8)
 """
 import collections
-import glob
-import gzip
-import json
 import os
 import sys
 import time
@@ -78,32 +75,20 @@ def categorize(name: str) -> str:
 
 
 def aggregate(out_dir: str, steps: int):
-    paths = glob.glob(os.path.join(
-        out_dir, "plugins", "profile", "*", "*.trace.json.gz"))
-    assert paths, f"no trace under {out_dir}"
-    path = max(paths, key=os.path.getmtime)
-    with gzip.open(path, "rt") as f:
-        trace = json.load(f)
-    events = trace["traceEvents"]
-    # device lanes: pids whose process name mentions TPU/device XLA ops
-    pid_names = {e["pid"]: e["args"].get("name", "")
-                 for e in events if e.get("ph") == "M"
-                 and e.get("name") == "process_name"}
-    dev_pids = {pid for pid, n in pid_names.items()
-                if "TPU" in n or "/device" in n.lower() or "XLA Op" in n}
+    from leod_tpu.utils.trace import is_scan_wrapper, load_device_events
+
+    path, pid_names, dev_events = load_device_events(out_dir)
+    assert path, f"no trace under {out_dir}"
     by_op = collections.Counter()
     by_cat = collections.Counter()
     total = 0.0
     loop_total = 0.0
-    for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
-            continue
+    for e in dev_events:
         name = e.get("name", "?")
-        if name.startswith("jit_") or "XLA Modules" in str(
-                pid_names.get(e.get("pid"), "")):
+        if "XLA Modules" in str(pid_names.get(e.get("pid"), "")):
             continue
         dur = e.get("dur", 0) / 1e3            # us -> ms
-        if name.lstrip("%").startswith("while"):
+        if is_scan_wrapper(name):
             # scan wrapper rows CONTAIN the inner ops (CLAUDE.md): keep
             # them out of the per-op totals and report separately as the
             # real loop time

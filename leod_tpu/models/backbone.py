@@ -189,10 +189,14 @@ def init_states(cfg: BackboneConfig, batch_size: int,
 def reset_states(states: BackboneStates, reset: jnp.ndarray) -> BackboneStates:
     """Zero the states of batch rows where `reset` is True
     (replaces the reference's worker-keyed RNNStates.reset,
-    modules/utils/detection.py:95-157)."""
-    keep = (~reset).astype(states[0][0].dtype)
+    modules/utils/detection.py:95-157).
 
+    Reset by SELECTION, not multiplication: 0 * NaN is NaN, so a
+    divergence that poisoned a slot's state would survive a
+    multiplicative reset and contaminate every later sequence in that
+    slot; where() actually clears it."""
     def apply(s):
-        return s * keep.reshape((-1,) + (1,) * (s.ndim - 1))
+        r = reset.reshape((-1,) + (1,) * (s.ndim - 1))
+        return jnp.where(r, jnp.zeros((), s.dtype), s)
 
     return jax.tree.map(apply, states)

@@ -26,16 +26,24 @@ from .boxes import cxcywh_to_xyxy, pairwise_iou
 _CLASS_OFFSET = 1.0e5  # larger than any canvas coordinate
 
 
-def nms_mask(boxes_xyxy: jnp.ndarray, scores: jnp.ndarray,
-             iou_threshold: float, valid: jnp.ndarray) -> jnp.ndarray:
+def nms_mask(boxes_xyxy: jnp.ndarray, iou_threshold: float,
+             valid: jnp.ndarray,
+             class_ids: jnp.ndarray | None = None) -> jnp.ndarray:
     """Greedy NMS keep-mask over score-DESCENDING-sorted inputs.
 
-    boxes_xyxy [K,4], scores [K] (must already be sorted desc),
-    valid [K] bool. Returns keep [K] bool.
+    boxes_xyxy [K,4] (rows MUST already be score-sorted desc — the sort
+    order is a precondition, which is why there is no scores argument),
+    valid [K] bool. class_ids [K] restricts suppression to same-class
+    pairs EXACTLY — unlike the float32 coordinate-offset trick, which
+    quantizes coordinates (~1 px spacing near cls_id*1e5 for ids ~100)
+    and can flip keep/suppress decisions at the threshold. Returns
+    keep [K] bool.
     """
     k = boxes_xyxy.shape[0]
     iou = pairwise_iou(boxes_xyxy, boxes_xyxy)           # [K, K]
     suppress_pair = iou > iou_threshold
+    if class_ids is not None:
+        suppress_pair &= class_ids[None, :] == class_ids[:, None]
     idx = jnp.arange(k)
     later = idx[None, :] > idx[:, None]                  # j strictly after i
 
@@ -79,15 +87,17 @@ def postprocess(predictions: jnp.ndarray, num_classes: int,
         top_score, order = jax.lax.top_k(sort_score, k)
         b = boxes_i[order]
         valid = jnp.isfinite(top_score)
-        if class_agnostic:
-            b_nms = b
-        else:
-            b_nms = b + cls_id_i[order][:, None] * _CLASS_OFFSET
+        cls_for_nms = None if class_agnostic else cls_id_i[order]
         if use_pallas:
+            # the Pallas kernel takes boxes only: per-class via the
+            # coordinate-offset trick (fine at gen1/gen4 class counts;
+            # the default XLA path uses the exact class mask)
             from .nms_pallas import nms_mask_pallas
+            b_nms = b if cls_for_nms is None \
+                else b + cls_for_nms[:, None] * _CLASS_OFFSET
             keep = nms_mask_pallas(b_nms, nms_threshold, valid)
         else:
-            keep = nms_mask(b_nms, top_score, nms_threshold, valid)
+            keep = nms_mask(b, nms_threshold, valid, cls_for_nms)
         det = jnp.concatenate(
             [b, obj_i[order, None], cls_conf_i[order, None],
              cls_id_i[order, None]], axis=-1)               # [k, 7]

@@ -41,6 +41,11 @@ def stacked_histogram(x: jnp.ndarray, y: jnp.ndarray, pol: jnp.ndarray,
         (t1 - t0).astype(jnp.float32), 1.0)
     t_idx = jnp.clip(jnp.floor(t_norm * bins).astype(jnp.int32), 0, bins - 1)
 
+    # out-of-canvas coordinates must DROP, not alias: x >= width wraps
+    # into row y+1 and y >= height into the next temporal-bin block
+    # (the torch reference's scatter_add raises instead). Matters for
+    # .npy imports where the sensor size is user-supplied.
+    valid = (valid & (x >= 0) & (x < width) & (y >= 0) & (y < height))
     flat = (x.astype(jnp.int32)
             + width * y.astype(jnp.int32)
             + height * width * t_idx
@@ -79,12 +84,18 @@ def mixed_density_stack(x: jnp.ndarray, y: jnp.ndarray, pol: jnp.ndarray,
     t = time.astype(jnp.int32)
     t0 = jnp.min(jnp.where(valid, t, big))
     t1 = jnp.max(jnp.where(valid, t, -big))
+    # all-padding window: t1-t0 would overflow int32 (big - (-big));
+    # same guard as stacked_histogram
+    t0 = jnp.where(jnp.any(valid), t0, 0)
+    t1 = jnp.where(jnp.any(valid), t1, 0)
     t_norm = (t - t0).astype(jnp.float32) / jnp.maximum(
         (t1 - t0).astype(jnp.float32), 1.0)
     t_norm = jnp.clip(t_norm, 1e-6, 1.0 - 1e-6)
     bin_f = jnp.floor(bins + jnp.log2(t_norm))
     bin_idx = jnp.clip(bin_f.astype(jnp.int32), 0, bins - 1)
     val = jnp.where(pol > 0, 1, -1).astype(jnp.int32)
+    # drop out-of-canvas coordinates (see stacked_histogram)
+    valid = (valid & (x >= 0) & (x < width) & (y >= 0) & (y < height))
     flat = (x.astype(jnp.int32) + width * y.astype(jnp.int32)
             + height * width * bin_idx)
     size = bins * height * width

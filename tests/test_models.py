@@ -212,3 +212,15 @@ def test_harvest_fold_hw_layout():
     want = fold_ev_hw(plain["ev"])
     assert folded["ev"].shape == (L, B, 8, 10, 320)
     np.testing.assert_array_equal(folded["ev"], want)
+
+
+def test_reset_states_clears_nonfinite():
+    """reset_states must clear NaN/Inf-poisoned slots (selection, not
+    multiplication: 0 * NaN == NaN would keep the slot dead forever)."""
+    states = ((jnp.zeros((8, 4, 4, 3)), jnp.zeros((8, 4, 4, 3))),)
+    poisoned = jax.tree.map(
+        lambda s: s.at[0].set(jnp.nan).at[1].set(jnp.inf), states)
+    out = reset_states(poisoned, jnp.array([True, True, False] + [False] * 5))
+    h = out[0][0]
+    assert bool(jnp.isfinite(h[:2]).all())       # poisoned rows cleared
+    assert bool(jnp.isfinite(h).all())

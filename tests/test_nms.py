@@ -22,7 +22,7 @@ def test_nms_mask_matches_numpy():
         order = np.argsort(-scores)
         b_sorted = boxes[order].astype(np.float32)
         s_sorted = scores[order]
-        keep = np.asarray(nms_mask(jnp.asarray(b_sorted), jnp.asarray(s_sorted),
+        keep = np.asarray(nms_mask(jnp.asarray(b_sorted),
                                    0.45, jnp.ones(n, bool)))
         kept_jax = set(order[np.where(keep)[0]].tolist())
         kept_np = set(nms_numpy(boxes, scores, 0.45).tolist())
@@ -35,9 +35,12 @@ def test_nms_suppresses_duplicates():
         [12, 12, 52, 52],   # heavy overlap -> suppressed
         [100, 100, 140, 140],
     ], np.float32))
-    scores = jnp.asarray(np.array([0.9, 0.8, 0.7], np.float32))
-    keep = np.asarray(nms_mask(boxes, scores, 0.45, jnp.ones(3, bool)))
+    keep = np.asarray(nms_mask(boxes, 0.45, jnp.ones(3, bool)))
     np.testing.assert_array_equal(keep, [True, False, True])
+    # same boxes, different classes: cross-class suppression masked off
+    cls = jnp.asarray(np.array([0, 1, 0], np.float32))
+    keep = np.asarray(nms_mask(boxes, 0.45, jnp.ones(3, bool), cls))
+    np.testing.assert_array_equal(keep, [True, True, True])
 
 
 def test_postprocess_shapes_and_classes():

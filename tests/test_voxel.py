@@ -95,3 +95,36 @@ def test_mixed_density_matches_reference_math():
     # earliest events live in channel 0; last channel holds everything
     assert np.abs(got[0]).sum() <= np.abs(got[-1]).sum()
     assert got[-1].sum() == np.where(pol > 0, 1, -1).sum()
+
+
+def test_out_of_canvas_events_dropped():
+    """x >= W / y >= H must DROP (the torch reference raises), not alias
+    into the next row/temporal block — e.g. gen4 coordinates voxelized
+    at wrong user-supplied gen1 dims via cli/import_raw.py."""
+    import jax.numpy as jnp
+    from leod_tpu.ops.voxel import mixed_density_stack, stacked_histogram
+
+    H, W, bins = 4, 6, 2
+    x = jnp.asarray([2, W, 99, 2], jnp.int32)      # only idx 0 and 3 valid
+    y = jnp.asarray([1, 1, 1, H], jnp.int32)
+    pol = jnp.asarray([1, 1, 1, 1], jnp.int32)
+    t = jnp.asarray([0, 10, 20, 30], jnp.int32)
+    valid = jnp.ones(4, bool)
+    out = stacked_histogram(x, y, pol, t, valid, bins=bins, height=H,
+                            width=W)
+    assert int(out.sum()) == 1 and int(out[bins + 0, 1, 2]) == 1
+    out2 = mixed_density_stack(x, y, pol, t, valid, bins=bins, height=H,
+                               width=W)
+    assert int(jnp.abs(out2).max()) <= 2  # only the in-canvas event lands
+
+
+def test_mixed_density_all_padding_window():
+    """Zero valid events: the t1-t0 int32 overflow guard (same as
+    stacked_histogram) keeps the output all-zero without wraparound."""
+    import jax.numpy as jnp
+    from leod_tpu.ops.voxel import mixed_density_stack
+
+    z = jnp.zeros(8, jnp.int32)
+    out = mixed_density_stack(z, z, z, z, jnp.zeros(8, bool), bins=3,
+                              height=4, width=4)
+    assert int(jnp.abs(out).sum()) == 0

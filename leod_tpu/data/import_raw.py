@@ -89,7 +89,9 @@ def import_recording(events_path: str, labels_path: Optional[str],
     if ev_repr_name is None:
         ev_repr_name = f"stacked_histogram_dt={dt_us // 1000}_nbins={bins}"
     reader = RawEventReader(events_path)
-    if reader.size[0] is not None:
+    if None not in reader.size:
+        # only trust a COMPLETE header: a .dat carrying Height but not
+        # Width (or vice versa) must not half-override the user dims
         height, width = reader.size
     if ds2:
         assert height % 2 == 0 and width % 2 == 0
@@ -146,6 +148,11 @@ def import_recording(events_path: str, labels_path: Optional[str],
                          "class_confidence"):
                 labels[name] = boxes[name]
             labels["objectness"] = 1.0
+            # t == 0 is the framework-wide PSEUDO-label stamp (see
+            # labels.py is_pseudo); a raw GT stream that starts at
+            # recording time 0 must not masquerade as pseudo — bump it
+            # by 1 us (far below the +-50 ms eval matching tolerance)
+            labels["t"] = np.maximum(labels["t"], 1)
     np.savez(os.path.join(seq_dir, "labels_v2", "labels.npz"), labels=labels,
              objframe_idx_2_label_idx=frame_starts)
     np.save(os.path.join(ev_dir, "objframe_idx_2_repr_idx.npy"), repr_idx)

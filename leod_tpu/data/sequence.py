@@ -65,11 +65,10 @@ class EventSequence:
         self.h5_path = ev_h5_path(self.seq_dir, cfg.ev_repr_name,
                                   cfg.downsample_by_factor_2)
         # resolve symlinked event files (pseudo datasets symlink the h5,
-        # reference: sequence_base.py:72-74)
-        p = Path(self.h5_path)
-        while p.is_symlink():
-            p = Path(os.readlink(str(p)))
-        self.h5_path = str(p)
+        # reference: sequence_base.py:72-74). realpath, NOT readlink:
+        # a relative link target must resolve against the link's own
+        # directory, not the process cwd
+        self.h5_path = os.path.realpath(self.h5_path)
         self._h5: Optional[h5py.File] = None
         with h5py.File(self.h5_path, "r") as f:
             self.num_ev_repr = int(f["data"].shape[0])

@@ -19,7 +19,7 @@ from ..data.loader import (EvalStreamLoader, Prefetcher, harvest_frames,
                            open_split_sequences)
 from ..models.detector import Detector
 from ..ops.nms import batched_nms_numpy, postprocess
-from ..train.step import make_eval_step
+from ..train.step import cached_eval_step
 from .prophesee import PropheseeEvaluator, boxes_to_prophesee
 
 
@@ -117,7 +117,7 @@ def run_tta_eval(det: Detector, variables, cfg: ExperimentConfig,
     n_cls = cfg.model.head.num_classes
     L = dst.sequence_length
     M = frames_per_slot or default_frames_per_slot(L)
-    eval_step = jax.jit(make_eval_step(det), donate_argnums=(1,))
+    eval_step = cached_eval_step(det)
     results: Dict[str, _SeqResult] = {}
 
     passes = [False] + ([True] if tflip else [])
@@ -157,6 +157,16 @@ def run_tta_eval(det: Detector, variables, cfg: ExperimentConfig,
                 dev = {k: hb[k] for k in ("ev", "is_first", "frame_t",
                                           "frame_mask", "labels")}
                 states, preds = eval_step(variables, states, dev)
+                if not time_flip:
+                    # end-of-stream bookkeeping must run even for steps
+                    # with ZERO harvested frames: a sequence whose final
+                    # window keeps no labels still ends here, and the
+                    # `assert rec.ended` below depends on seeing it
+                    for b in range(B_eff):
+                        p = batch["paths"][b]
+                        if p and bool(batch["is_last"][b]):
+                            results.setdefault(
+                                p, _SeqResult(dst.loading_hw[1])).ended = True
                 if hb["num_frames"] == 0:
                     continue
                 dets, valid = postprocess(preds, num_classes=n_cls,
@@ -185,8 +195,6 @@ def run_tta_eval(det: Detector, variables, cfg: ExperimentConfig,
                         rec.add(ev_i, gt if not is_h else None, d,
                                 is_hflip=is_h, is_tflip=time_flip,
                                 tflip_offset=dst.tflip_offset)
-                    if bool(batch["is_last"][b]) and not time_flip:
-                        rec.ended = True
         for s in seqs:
             s.close()
 

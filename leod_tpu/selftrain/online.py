@@ -34,7 +34,7 @@ from ..data.augment import weak_to_strong_boxes
 from ..data.loader import harvest_frames
 from ..models.detector import Detector
 from ..ops.nms import postprocess
-from ..train.step import make_eval_step
+from ..train.step import cached_eval_step
 from .filters import pred_to_label
 
 
@@ -118,7 +118,7 @@ class OnlineSSODBatcher:
         # teacher's leaves with them)
         self.teacher_vars = jax.tree_util.tree_map(
             lambda x: jnp.array(x, jnp.float32, copy=True), variables)
-        self._eval_step = jax.jit(make_eval_step(det), donate_argnums=(1,))
+        self._eval_step = cached_eval_step(det)
         self._update = make_teacher_update(oc.update_method, oc.alpha)
         self.states = det.init_states(batch_size)
         self.lens = np.zeros(batch_size, np.int64)

@@ -222,10 +222,9 @@ class SequenceRecorder:
         assert self.ended, "sequence did not reach end-of-stream"
         src_h5 = ev_h5_path(self.seq_dir, dst.ev_repr_name,
                             dst.downsample_by_factor_2)
-        p = src_h5
-        while osp.islink(p):
-            p = os.readlink(p)
-        src_h5 = p
+        # realpath resolves relative link targets against the link's own
+        # directory (raw readlink would resolve them against the cwd)
+        src_h5 = osp.realpath(src_h5)
         import h5py
         with h5py.File(src_h5, "r") as f:
             num_frames = int(f["data"].shape[0])
@@ -249,9 +248,7 @@ class SequenceRecorder:
         base = osp.dirname(self.seq_dir.rstrip("/"))
         orig_root = osp.dirname(base)
         for split in ("val", "test"):
-            src = osp.join(orig_root, split)
-            while osp.islink(src):
-                src = os.readlink(src)
+            src = osp.realpath(osp.join(orig_root, split))
             dst_link = osp.join(save_dir, split)
             if osp.exists(src) and not osp.lexists(dst_link):
                 try:

@@ -20,7 +20,7 @@ from ..data.loader import (EvalStreamLoader, Prefetcher, harvest_frames,
 from ..eval.prophesee import PropheseeEvaluator, boxes_to_prophesee
 from ..models.detector import Detector
 from ..ops.nms import postprocess
-from ..train.step import make_eval_step
+from ..train.step import cached_eval_step
 from .filters import evaluate_pseudo_labels, pred_to_label
 from .pseudo_labeler import PseudoLabelConfig, SequenceRecorder
 
@@ -76,7 +76,7 @@ class PseudoLabelRunner:
         L = dst.sequence_length
         hflip = pl.tta_hflip
         B_dev = B * 2 if hflip else B
-        eval_step = jax.jit(make_eval_step(self.det), donate_argnums=(1,))
+        eval_step = cached_eval_step(self.det)
         states = self.det.init_states(B_dev)
         lens = _SlotLens(B)
         pp = cfg.model.postprocess

@@ -123,6 +123,9 @@ class Tracklet:
 
     def update(self, new_bbox: np.ndarray, bbox_idx: int, is_gt: bool):
         assert new_bbox[4] == self.class_id, "tracklet class mismatch"
+        # hits is the track SPAN (age+1), NOT the matched-detection
+        # count — deliberately diverging from SORT to match the
+        # reference exactly (linear.py:86 sets hits = age + 1 too)
         self.hits = self.age + 1
         self.all_hits.append(self.hits)
         self.time_since_update = 0

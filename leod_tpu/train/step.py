@@ -185,6 +185,19 @@ def make_train_step(det: Detector, optimizer, with_preds: bool = False,
     return train_step
 
 
+def cached_eval_step(det: Detector):
+    """jit(make_eval_step(det), donate_argnums=(1,)) memoized on the
+    Detector. jax.jit caches by FUNCTION IDENTITY and make_eval_step
+    returns a new closure per call, so an unmemoized jit re-traces (and
+    on a compile-cache miss recompiles) the full eval program at every
+    val_check_interval; one Detector's eval program never changes."""
+    fn = getattr(det, "_cached_eval_step", None)
+    if fn is None:
+        fn = jax.jit(make_eval_step(det), donate_argnums=(1,))
+        det._cached_eval_step = fn
+    return fn
+
+
 def make_eval_step(det: Detector):
     """Returns eval_step(variables, states, batch) ->
     (new_states, preds [M, A, 5+C] sigmoided).

@@ -32,7 +32,7 @@ from ..eval.prophesee import PropheseeEvaluator, boxes_to_prophesee
 from ..models.detector import Detector
 from ..ops.nms import postprocess
 from .optim import make_optimizer
-from .step import TrainState, make_eval_step, make_train_step
+from .step import TrainState, cached_eval_step, make_train_step
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
@@ -204,7 +204,7 @@ def run_streaming_eval(det: Detector, variables, cfg: ExperimentConfig,
     pp = cfg.model.postprocess
     conf = conf_threshold if conf_threshold is not None else pp.confidence_threshold
 
-    eval_step = jax.jit(make_eval_step(det), donate_argnums=(1,))
+    eval_step = cached_eval_step(det)
     if evaluator is None:
         evaluator = PropheseeEvaluator(dst.name, dst.downsample_by_factor_2)
     states = det.init_states(B)
@@ -578,6 +578,7 @@ class Trainer:
             pass
         t0 = time.time()
         frames_seen = 0
+        dropped_total = 0
         # track the step on the host: int(state.step) would force a device
         # sync every iteration and stall the input pipeline
         step = int(state.step)
@@ -631,6 +632,10 @@ class Trainer:
                 # local frames x process_count = global frames (every
                 # process feeds an equal slice of the global batch)
                 frames_seen += meta["frames"] * jax.process_count()
+                # running TOTAL, not per-step: drops on non-log steps
+                # must not vanish (with log_every=50 a per-step field
+                # could only ever surface 2% of them)
+                dropped_total += meta["dropped_frames"]
                 if step % log_every == 0 or step == 1:
                     dt = time.time() - t0
                     rec = {"step": step,
@@ -638,8 +643,8 @@ class Trainer:
                                self.schedule) else self.schedule,
                            "frames_per_s": frames_seen / max(dt, 1e-6),
                            **{k: float(v) for k, v in metrics.items()}}
-                    if meta["dropped_frames"]:
-                        rec["dropped_frames"] = meta["dropped_frames"]
+                    if dropped_total:
+                        rec["dropped_frames_total"] = dropped_total
                     self.logger.log(rec)
                 # time-triggered checkpoint (reference: 18-min timer) and
                 # preemption stop. Both decisions must be RANK-CONSISTENT:

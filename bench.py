@@ -166,7 +166,8 @@ def _bench_dataset(dataset: str, iters: int, latency: bool,
     change the gen4 fields the driver compares round over round."""
     if not use_env_workload:
         pinned = ("BENCH_FUSED", "BENCH_FOLD", "BENCH_UNROLL",
-                  "BENCH_SIZE", "BENCH_BATCH", "BENCH_SEQ_LEN")
+                  "BENCH_SIZE", "BENCH_BATCH", "BENCH_SEQ_LEN",
+                  "BENCH_REMAT")
         saved = {k: os.environ.pop(k) for k in pinned if k in os.environ}
         try:
             return _bench_dataset(dataset, iters, latency, train)

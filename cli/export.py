@@ -66,13 +66,13 @@ def main():
     cfg = derive(experiment_preset(args.dataset, args.size))
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     det = Detector(cfg.model, dtype=dtype)
-    variables = det.init(jax.random.PRNGKey(0), batch_size=1)
     if args.ckpt:
-        from leod_tpu.train.trainer import load_checkpoint
-        restored = load_checkpoint(args.ckpt)
-        variables = {"params": restored["params"],
-                     "batch_stats": restored["batch_stats"]}
+        # skip the model-sized jitted init: the checkpoint carries the
+        # full variables tree (trainer.load_variables owns the mapping)
+        from leod_tpu.train.trainer import load_variables
+        variables = load_variables(args.ckpt)
     elif args.torch_ckpt:
+        variables = det.init(jax.random.PRNGKey(0), batch_size=1)
         from leod_tpu.convert import check_compatible, load_torch_checkpoint
         converted = load_torch_checkpoint(args.torch_ckpt)
         check_compatible(converted, jax.device_get(variables))

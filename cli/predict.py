@@ -94,11 +94,9 @@ def main():
         tr = dataclasses.replace(tr, batch_size_eval=args.batch_size)
     cfg = derive(dataclasses.replace(cfg, dataset=dst, training=tr))
 
-    # gen4 threshold broadcast (reference: config/modifier.py:82-98)
-    obj_t, cls_t = tuple(args.obj_thresh), tuple(args.cls_thresh)
-    if args.dataset == "gen4" and len(obj_t) == 2:
-        obj_t = (obj_t[1], obj_t[1], obj_t[0])
-        cls_t = (cls_t[1], cls_t[1], cls_t[0])
+    from leod_tpu.config import broadcast_gen4_thresholds
+    obj_t = broadcast_gen4_thresholds(tuple(args.obj_thresh), args.dataset)
+    cls_t = broadcast_gen4_thresholds(tuple(args.cls_thresh), args.dataset)
     pl_cfg = PseudoLabelConfig(
         skip_first_t=args.skip_first_t, obj_thresh=obj_t, cls_thresh=cls_t,
         min_track_len=args.min_track_len, track_method=args.track_method,
@@ -117,12 +115,13 @@ def main():
 
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     det = Detector(cfg.model, dtype=dtype)
-    variables = det.init(jax.random.PRNGKey(0), batch_size=1)
     if args.ckpt:
-        from leod_tpu.train.trainer import load_checkpoint
-        restored = load_checkpoint(args.ckpt)
-        variables = {"params": restored["params"],
-                     "batch_stats": restored["batch_stats"]}
+        # skip the model-sized jitted init: the checkpoint carries the
+        # full variables tree (trainer.load_variables owns the mapping)
+        from leod_tpu.train.trainer import load_variables
+        variables = load_variables(args.ckpt)
+    else:
+        variables = det.init(jax.random.PRNGKey(0), batch_size=1)
 
     runner = PseudoLabelRunner(det, variables, cfg, pl_cfg, args.save_dir,
                                shard_index=args.shard_index,

@@ -66,9 +66,12 @@ def make_server(engine, meta, host: str = "0.0.0.0", port: int = 8000):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n))
+                if not isinstance(req, dict):
+                    raise ValueError("body must be a JSON object")
                 raw = base64.b64decode(req["frame_b64"])
                 frame = np.frombuffer(raw, np.uint8).reshape(frame_shape)
-            except (KeyError, ValueError, json.JSONDecodeError) as e:
+            except (KeyError, TypeError, ValueError,
+                    json.JSONDecodeError) as e:
                 self._reply(400, {"error": str(e)})
                 return
             try:
@@ -142,16 +145,14 @@ def main():
     elif args.ckpt:
         from leod_tpu.config import derive, experiment_preset
         from leod_tpu.models.detector import Detector
-        from leod_tpu.train.trainer import load_checkpoint
+        from leod_tpu.train.trainer import load_variables
 
         if args.batch_size is None:
             args.batch_size = 16
         cfg = derive(experiment_preset(args.dataset, args.size))
         det = Detector(cfg.model,
                        dtype=jnp.float32 if args.fp32 else jnp.bfloat16)
-        restored = load_checkpoint(args.ckpt)
-        variables = {"params": restored["params"],
-                     "batch_stats": restored["batch_stats"]}
+        variables = load_variables(args.ckpt)
         step_fn = jax.jit(make_serve_step(det, variables, args.conf))
         states = det.init_states(args.batch_size)
         frame_shape = serve_input_shape(cfg, args.batch_size)[1:]

@@ -184,6 +184,10 @@ def main():
         converted = load_torch_checkpoint(args.torch_weight)
         check_compatible(converted, jax.device_get(base.variables))
         state = base._replace(variables=jax.device_put(converted))
+    elif state is None:
+        # auto-resume with an empty run dir and no weight flags: reuse
+        # the template instead of letting fit() redo the same init
+        state = base
     final = trainer.fit(seed=args.seed, state=state,
                         profile_steps=args.profile_steps)
     print(f"done at step {int(final.step)}")

@@ -36,10 +36,9 @@ def main():
     dst = dataclasses.replace(dataset_preset(args.dataset),
                               path=args.orig_path, ratio=args.ratio,
                               train_ratio=args.train_ratio)
-    obj_t, cls_t = tuple(args.obj_thresh), tuple(args.cls_thresh)
-    if args.dataset == "gen4" and len(obj_t) == 2:
-        obj_t = (obj_t[1], obj_t[1], obj_t[0])
-        cls_t = (cls_t[1], cls_t[1], cls_t[0])
+    from leod_tpu.config import broadcast_gen4_thresholds
+    obj_t = broadcast_gen4_thresholds(tuple(args.obj_thresh), args.dataset)
+    cls_t = broadcast_gen4_thresholds(tuple(args.cls_thresh), args.dataset)
     pl_cfg = PseudoLabelConfig(obj_thresh=obj_t, cls_thresh=cls_t)
     if args.verify:
         n = verify_pseudo_dataset(args.path, dst, sample_frac=1.0)

@@ -73,12 +73,13 @@ def main():
     cfg = derive(dataclasses.replace(cfg, dataset=dst))
 
     det = Detector(cfg.model, dtype=jnp.float32 if args.fp32 else jnp.bfloat16)
-    variables = det.init(jax.random.PRNGKey(0), batch_size=1)
     if args.ckpt:
-        from leod_tpu.train.trainer import load_checkpoint
-        restored = load_checkpoint(args.ckpt)
-        variables = {"params": restored["params"],
-                     "batch_stats": restored["batch_stats"]}
+        # skip the model-sized jitted init: the checkpoint carries the
+        # full variables tree (trainer.load_variables owns the mapping)
+        from leod_tpu.train.trainer import load_variables
+        variables = load_variables(args.ckpt)
+    else:
+        variables = det.init(jax.random.PRNGKey(0), batch_size=1)
 
     eval_step = jax.jit(make_eval_step(det), donate_argnums=(1,))
     os.makedirs(args.out, exist_ok=True)

@@ -299,6 +299,16 @@ class ExperimentConfig:
 # Derivation (the reference's `dynamically_modify_train_config`)
 # ---------------------------------------------------------------------------
 
+def broadcast_gen4_thresholds(thresh, dataset_name: str):
+    """gen1 2-tuple ('car', 'ped') -> gen4 3-tuple ('ped', 'cyc', 'car'):
+    cyclist copies pedestrian (reference: config/modifier.py:82-98).
+    The ONE owner of the class-order broadcast rule — derive() and the
+    predict/val_dst CLIs all route through here."""
+    if thresh is not None and dataset_name == "gen4" and len(thresh) == 2:
+        return (thresh[1], thresh[1], thresh[0])
+    return thresh
+
+
 def derive(cfg: ExperimentConfig) -> ExperimentConfig:
     """Fill in derived fields (reference: config/modifier.py:10-108).
 
@@ -318,10 +328,9 @@ def derive(cfg: ExperimentConfig) -> ExperimentConfig:
                        in_res_hw=in_res,
                        partition_size=part)
     head = replace(cfg.model.head, num_classes=dst.num_classes)
-    thresh = head.ignore_bbox_thresh
-    if thresh is not None and dst.name == "gen4" and len(thresh) == 2:
-        # gen1 ('car','ped') -> gen4 ('ped','cyc','car'): cyc copies ped
-        head = replace(head, ignore_bbox_thresh=(thresh[1], thresh[1], thresh[0]))
+    thresh = broadcast_gen4_thresholds(head.ignore_bbox_thresh, dst.name)
+    if thresh is not head.ignore_bbox_thresh:
+        head = replace(head, ignore_bbox_thresh=thresh)
     model = replace(cfg.model, backbone=backbone, head=head)
     return replace(cfg, model=model)
 

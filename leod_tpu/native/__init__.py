@@ -21,10 +21,15 @@ _tried = False
 
 def _build() -> bool:
     try:
+        # build to a per-pid temp name and rename: concurrent processes
+        # (two pseudo-gen shards both importing) must never dlopen a
+        # half-written .so — rename is atomic on the same filesystem
+        tmp = f"{_SO}.build.{os.getpid()}"
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             "-o", _SO, _SRC],
+             "-o", tmp, _SRC],
             check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _SO)
         return True
     except Exception as e:                                # pragma: no cover
         print(f"leod_tpu.native: build failed ({e}); using numpy fallbacks")
@@ -41,7 +46,20 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                        < os.path.getmtime(_SRC)):
             if not _build():
                 return None
-        lib = ctypes.CDLL(_SO)
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            # stale/truncated/ABI-broken .so: rebuild once, then honor
+            # the module contract (numpy fallback) instead of crashing
+            # callers mid-eval
+            if not _build():
+                return None
+            try:
+                lib = ctypes.CDLL(_SO)
+            except OSError as e:                          # pragma: no cover
+                print(f"leod_tpu.native: dlopen failed ({e}); "
+                      f"using numpy fallbacks")
+                return None
         lib.leod_nms.restype = ctypes.c_int
         lib.leod_nms.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),

@@ -53,6 +53,18 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
     return ckpt.restore(path, restore_args=restore_args)
 
 
+def load_variables(path: str) -> Dict[str, Any]:
+    """Checkpoint -> model variables ({'params', 'batch_stats'}).
+
+    The single owner of the checkpoint->variables mapping (the payload
+    also carries opt_state/step/best_aps — see save_checkpoint); every
+    CLI and load_weights goes through here so a layout change has one
+    place to land."""
+    restored = load_checkpoint(path)
+    return {"params": restored["params"],
+            "batch_stats": restored["batch_stats"]}
+
+
 def default_frames_per_slot(seq_len: int, use_label_every: int = 1) -> int:
     """Static per-slot harvest budget.
 
@@ -421,10 +433,7 @@ class Trainer:
     def load_weights(self, path: str, state: TrainState) -> TrainState:
         """Weight-only resume (reference: modules/detection.py:583-594)."""
         self.wait_for_checkpoints()     # the path may still be writing
-        restored = load_checkpoint(path)
-        variables = {"params": restored["params"],
-                     "batch_stats": restored["batch_stats"]}
-        return state._replace(variables=variables)
+        return state._replace(variables=load_variables(path))
 
     def restore_checkpoint(self, path: str, state: TrainState) -> TrainState:
         """Full resume: weights + optimizer + step + best-AP retention

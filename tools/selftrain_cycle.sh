@@ -23,7 +23,10 @@ LABEL_EVERY=${LABEL_EVERY:-2} # labeled-frame spacing (pre-WSOD-subsample)
 # stays 1, and train AP lands at 0 even after 2000 steps (measured).
 BATCH=${BATCH:-8}
 SEQ_LEN=${SEQ_LEN:-21}
-CPU_FLAG=${CYCLE_CPU:+--cpu}
+# gate on the VALUE: ${CYCLE_CPU:+--cpu} would force CPU for
+# CYCLE_CPU=0 too (:+ substitutes for any non-empty value)
+CPU_FLAG=""
+if [ "${CYCLE_CPU:-0}" = 1 ]; then CPU_FLAG=--cpu; fi
 rm -rf "$WORK"; mkdir -p "$WORK"
 
 echo "== 0. synthetic dataset =="

@@ -180,3 +180,38 @@ def test_mesh_eval_falls_back_when_batch_too_small(exp_cfg):
                            batch_size=2, frames_per_slot=4,
                            shard_index=0, num_shards=1, mesh=make_mesh())
     assert m is not None and np.isfinite(m["AP"])
+
+
+def test_spatial_mesh_gen4_flavor(tmp_path_factory):
+    """Spatial sharding at gen4 flavor (ds2 dataset, 3 classes, height
+    shard across the gen4-style resolution) — the 1Mpx activation-memory
+    use case the space axis exists for. One jitted fit step must run and
+    keep the (data, space) sharding on the state table."""
+    from leod_tpu.config import (BackboneConfig, ExperimentConfig,
+                                 HeadConfig, ModelConfig, TrainingConfig)
+    from leod_tpu.data.synthetic import generate_dataset
+    from leod_tpu.parallel.mesh import SPACE_AXIS
+
+    root = tmp_path_factory.mktemp("synth_sp4")
+    generate_dataset(str(root), num_train=2, num_val=0, num_test=0,
+                     num_reprs=24, hw=(96, 128), ds2=True, num_classes=3,
+                     label_every=2, first_label_repr=11)
+    dst = dataclasses.replace(
+        dataset_preset("gen4"), path=str(root), resolution_hw=(96, 128),
+        sequence_length=4, train_sampling="stream")
+    model = ModelConfig(
+        backbone=BackboneConfig(embed_dim=32, in_res_hw=(64, 64),
+                                partition_size=(2, 2)),
+        head=HeadConfig(num_classes=3, max_gt=8))
+    training = TrainingConfig(max_steps=1, batch_size_train=4,
+                              batch_size_eval=4, val_check_interval=0,
+                              max_det_frames=2, learning_rate=1e-4)
+    cfg = ExperimentConfig(dataset=dst, model=model, training=training,
+                           save_dir=str(tmp_path_factory.mktemp("runs_sp4")),
+                           exp_name="sp4")
+    trainer = Trainer(cfg, dtype=jnp.float32, mesh=make_mesh(space=2))
+    state = trainer.fit(max_steps=1)
+    assert int(state.step) == 1
+    assert state.states[0][0].sharding.spec[:2] == (DATA_AXIS, SPACE_AXIS)
+    for leaf in jax.tree.leaves(state.variables["params"]):
+        assert np.all(np.isfinite(np.asarray(leaf)))

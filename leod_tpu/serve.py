@@ -299,6 +299,19 @@ class ServingEngine:
         self._pending = rest
         return taken
 
+    def _assign_batch(self, batch: List[_Request]) -> List[Tuple[int, bool]]:
+        """Slot rows for one micro-batch (lock held). RESIDENT streams
+        are assigned before new ones: arrival order would let a new
+        stream LRU-evict a resident that has a request in this very
+        batch, resetting its LSTM state mid-stream when an idle slot
+        could have been taken."""
+        order = sorted(range(len(batch)),
+                       key=lambda i: batch[i].stream not in self._slots)
+        rows: List = [None] * len(batch)
+        for i in order:
+            rows[i] = self._assign_slot(batch[i].stream)
+        return rows
+
     def _assign_slot(self, stream: str) -> Tuple[int, bool]:
         """(slot, is_new) — evicts the LRU stream when full (lock held)."""
         if stream in self._slots:
@@ -336,16 +349,7 @@ class ServingEngine:
                     # every coalesced request was withdrawn by a timeout;
                     # don't burn a device step on an all-idle batch
                     continue
-                # assign RESIDENT streams before new ones: arrival order
-                # would let a new stream LRU-evict a resident that has a
-                # request in this very batch, resetting its LSTM state
-                # mid-stream when an idle slot could have been taken
-                order = sorted(range(len(batch)),
-                               key=lambda i: batch[i].stream not in
-                               self._slots)
-                rows: List = [None] * len(batch)
-                for i in order:
-                    rows[i] = self._assign_slot(batch[i].stream)
+                rows = self._assign_batch(batch)
             try:
                 ev = np.zeros((self.batch_size,) + self.frame_shape,
                               self.frame_dtype)

@@ -1,6 +1,5 @@
 """Native library loader: stale-.so recovery and numpy-fallback contract
 (leod_tpu/native/__init__.py get_lib)."""
-import ctypes
 import os
 import shutil
 
@@ -25,6 +24,8 @@ def isolated_native(tmp_path, monkeypatch):
     return so
 
 
+@pytest.mark.skipif(native.get_lib() is None,
+                    reason="native toolchain unavailable (numpy fallback)")
 def test_corrupt_so_is_rebuilt(isolated_native):
     """A truncated/garbage .so newer than the source (e.g. a crashed
     concurrent build before the atomic-rename fix) must be rebuilt, not

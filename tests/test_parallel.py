@@ -89,8 +89,7 @@ def test_spatial_mesh_matches_single_device(exp_cfg):
     state table — gives the single-device loss."""
     from leod_tpu.data.loader import (StreamTrainLoader, harvest_frames,
                                       open_split_sequences)
-    from leod_tpu.parallel.mesh import (DATA_AXIS, SPACE_AXIS, shard_batch,
-                                        shard_states)
+    from leod_tpu.parallel.mesh import DATA_AXIS, SPACE_AXIS, shard_batch
     from leod_tpu.train.optim import make_optimizer
     from leod_tpu.train.step import make_train_step
 
@@ -187,9 +186,6 @@ def test_spatial_mesh_gen4_flavor(tmp_path_factory):
     shard across the gen4-style resolution) — the 1Mpx activation-memory
     use case the space axis exists for. One jitted fit step must run and
     keep the (data, space) sharding on the state table."""
-    from leod_tpu.config import (BackboneConfig, ExperimentConfig,
-                                 HeadConfig, ModelConfig, TrainingConfig)
-    from leod_tpu.data.synthetic import generate_dataset
     from leod_tpu.parallel.mesh import SPACE_AXIS
 
     root = tmp_path_factory.mktemp("synth_sp4")

@@ -257,50 +257,34 @@ def test_engine_resident_streams_assigned_first():
     """A micro-batch containing a NEW stream plus a RESIDENT stream must
     keep the resident's slot (evicting an idle stream), regardless of
     arrival order — otherwise the new stream LRU-evicts the resident and
-    its LSTM state is reset mid-stream (serve.py _loop ordering)."""
-    import threading
-    import time as _time
+    its LSTM state is reset mid-stream (serve.py _assign_batch).
+    Tested deterministically against the assignment method itself."""
+    from leod_tpu.serve import _Request
 
     B = 2
     shape = (4, 4, 2)
-    ran = []
 
     def fake_step(states, ev, reset, active):
-        ran.append(np.asarray(reset).copy())
         dets = np.zeros((B, 3, 7), np.float32)
         return states, dets, np.asarray(active)[:, None] & np.ones(
             (B, 3), bool)
 
     zero = {"h": np.zeros((B, 2), np.float32)}
-    engine = ServingEngine(fake_step, zero, shape, max_wait_ms=50.0)
+    engine = ServingEngine(fake_step, zero, shape, max_wait_ms=0.0)
     frame = np.zeros(shape, np.uint8)
     try:
         engine.detect("a", frame)
         engine.detect("b", frame)          # slots full: {a, b}, LRU=[a, b]
         slot_a = engine._slots["a"]
-        # c (new) and a (resident) race into ONE coalesced batch, c first
-        errs = []
-
-        def send(name):
-            try:
-                engine.detect(name, frame)
-            except Exception as e:         # pragma: no cover
-                errs.append(e)
-
-        t1 = threading.Thread(target=send, args=("c",))
-        t2 = threading.Thread(target=send, args=("a",))
-        t1.start()
-        _time.sleep(0.005)
-        t2.start()
-        t1.join()
-        t2.join()
-        assert not errs
-        # resident "a" kept its slot; idle "b" was the eviction victim
+        # one coalesced batch with new "c" ARRIVING BEFORE resident "a"
+        with engine._lock:
+            rows = engine._assign_batch([_Request("c", frame),
+                                         _Request("a", frame)])
+        # resident "a" kept its slot and was NOT reset; idle "b" evicted
+        assert rows[1] == (slot_a, False)
         assert engine._slots["a"] == slot_a
         assert "b" not in engine._slots and "c" in engine._slots
-        # and "a" was never reset after its first frame
-        resets_for_a = [r[slot_a] for r in ran[1:]]
-        assert not any(resets_for_a)
+        assert rows[0][1] is True          # c starts fresh
     finally:
         engine.close()
 
@@ -314,9 +298,10 @@ def test_engine_timeout_withdraws_pending_request():
     B = 2
     shape = (4, 4, 2)
     release = threading.Event()
-    seen_streams = []
+    entered = threading.Event()
 
     def slow_step(states, ev, reset, active):
+        entered.set()
         release.wait(30)
         dets = np.zeros((B, 3, 7), np.float32)
         return states, dets, np.asarray(active)[:, None] & np.ones(
@@ -329,8 +314,7 @@ def test_engine_timeout_withdraws_pending_request():
         # occupy the worker with x's step (blocked in slow_step)
         tx = threading.Thread(target=lambda: engine.detect("x", frame))
         tx.start()
-        import time as _time
-        _time.sleep(0.1)                    # worker is inside slow_step
+        assert entered.wait(30)             # worker is inside slow_step
         with pytest.raises(TimeoutError):
             engine.detect("y", frame, timeout=0.2)
         with engine._lock:

@@ -247,7 +247,9 @@ def test_online_ssod_fit_on_mesh(ssod_exp_cfg):
 
     trainer = Trainer(ssod_exp_cfg, dtype=jnp.float32,
                       mesh=make_mesh(2))   # cfg batch is 2: 1 row/device
-    state = trainer.fit(max_steps=2, eval_split="val", log_every=1)
+    # the device-set coverage is the per-batch TEACHER inference +
+    # EMA update (val_check_interval is 0 — no val eval runs in fit)
+    state = trainer.fit(max_steps=2, log_every=1)
     assert int(state.step) == 2
     for leaf in jax.tree.leaves(state.variables["params"]):
         assert np.all(np.isfinite(np.asarray(leaf)))

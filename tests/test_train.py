@@ -214,6 +214,7 @@ def test_best_checkpoint_top2_retention(exp_cfg, tmp_path):
     assert path.endswith("ckpt_last")
     assert t2._best_aps == [0.7, 0.6]
     t2._save_best(0.5, base._replace(step=jnp.asarray(10, jnp.int32)))
+    t2.wait_for_checkpoints()   # step_of only flushes the OUTER trainer
     assert step_of("best") == 2 and step_of("best2") == 3   # unchanged
 
 

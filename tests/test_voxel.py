@@ -101,8 +101,7 @@ def test_out_of_canvas_events_dropped():
     """x >= W / y >= H must DROP (the torch reference raises), not alias
     into the next row/temporal block — e.g. gen4 coordinates voxelized
     at wrong user-supplied gen1 dims via cli/import_raw.py."""
-    import jax.numpy as jnp
-    from leod_tpu.ops.voxel import mixed_density_stack, stacked_histogram
+    from leod_tpu.ops.voxel import mixed_density_stack
 
     H, W, bins = 4, 6, 2
     x = jnp.asarray([2, W, 99, 2], jnp.int32)      # only idx 0 and 3 valid
@@ -121,7 +120,6 @@ def test_out_of_canvas_events_dropped():
 def test_mixed_density_all_padding_window():
     """Zero valid events: the t1-t0 int32 overflow guard (same as
     stacked_histogram) keeps the output all-zero without wraparound."""
-    import jax.numpy as jnp
     from leod_tpu.ops.voxel import mixed_density_stack
 
     z = jnp.zeros(8, jnp.int32)

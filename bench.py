@@ -219,11 +219,43 @@ def _bench_dataset(dataset: str, iters: int, latency: bool,
     return out
 
 
+def _chip_available(timeout_s: float) -> dict:
+    """Bounded health probe (tools/tpu_health.py in a capped subprocess).
+    A wedged chip makes the axon claim wait FOREVER (CLAUDE.md
+    grant-wedge notes), which would otherwise hang the whole bench run
+    with no artifact; probing first turns an outage into one parseable
+    JSON error line. BENCH_HEALTH_TIMEOUT=0 skips the probe."""
+    import subprocess
+    tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "tpu_health.py")
+    try:
+        out = subprocess.run([sys.executable, tool, "--timeout",
+                              str(timeout_s)], capture_output=True,
+                             text=True, timeout=timeout_s + 30)
+        lines = out.stdout.strip().splitlines()
+        return json.loads(lines[-1]) if lines else \
+            {"ok": False, "reason": f"no probe output (rc {out.returncode})"}
+    except Exception as e:                              # pragma: no cover
+        return {"ok": False, "reason": f"{type(e).__name__}: {e}"}
+
+
 def main():
     dataset = os.environ.get("BENCH_DATASET", "gen1")
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     latency = os.environ.get("BENCH_LATENCY", "1") != "0"
     train = os.environ.get("BENCH_TRAIN", "1") != "0"
+
+    health_timeout = float(os.environ.get("BENCH_HEALTH_TIMEOUT", "900"))
+    if health_timeout > 0:
+        status = _chip_available(health_timeout)
+        if not status.get("ok"):
+            print(json.dumps({
+                "metric": f"rvt_b_{dataset}_inference_throughput",
+                "value": None,
+                "unit": "event_frames_per_s_per_chip",
+                "error": f"tpu unavailable: {status.get('reason')} "
+                         f"(probe capped at {health_timeout:.0f}s)"}))
+            return
 
     res = _bench_dataset(dataset, iters, latency, train)
     frames_per_s = res.pop("frames_per_s")

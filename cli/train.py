@@ -31,6 +31,11 @@ def main():
                     choices=["random", "stream", "mixed"])
     ap.add_argument("--ratio", type=float, default=-1.0,
                     help="WSOD label-frequency subsample ratio")
+    ap.add_argument("--tflip", action="store_true",
+                    help="enable temporal-flip augmentation (prob 0.5 on "
+                         "both samplers), as every reference WSOD/self-"
+                         "training dataset config does (gen1-tflip.yaml, "
+                         "gen1x*.yaml data_augmentation.*.prob_tflip)")
     ap.add_argument("--train-ratio", type=float, default=-1.0,
                     help="SSOD sequence subsample ratio")
     ap.add_argument("--soft", action="store_true",
@@ -107,6 +112,13 @@ def main():
         dst = dataclasses.replace(dst, train_sampling=args.sampling)
     dst = dataclasses.replace(dst, ratio=args.ratio,
                               train_ratio=args.train_ratio)
+    if args.tflip:
+        dst = dataclasses.replace(
+            dst,
+            augment_random=dataclasses.replace(dst.augment_random,
+                                               prob_tflip=0.5),
+            augment_stream=dataclasses.replace(dst.augment_stream,
+                                               prob_tflip=0.5))
     tr = cfg.training
     if args.steps:
         tr = dataclasses.replace(tr, max_steps=args.steps)

@@ -354,8 +354,17 @@ def dataset_preset(name: str) -> DatasetConfig:
 
 
 def model_preset(size: str = "base", **head_kwargs) -> ModelConfig:
+    """Size presets mirror the reference experiment matrix exactly
+    (config/experiment/gen1/{tiny,small,base}.yaml, identical for gen4):
+    tiny = embed 32 + FPN depth 0.33; small = embed 48 + dim_head 24
+    (48 is not divisible by the default 32) + FPN depth 0.33;
+    base = embed 64 + FPN depth 0.67."""
     embed = _EMBED_BY_SIZE[size]
-    return ModelConfig(backbone=BackboneConfig(embed_dim=embed),
+    dim_head = 24 if size == "small" else 32
+    fpn_depth = 0.67 if size == "base" else 0.33
+    return ModelConfig(backbone=BackboneConfig(embed_dim=embed,
+                                               dim_head=dim_head),
+                       fpn=FPNConfig(depth=fpn_depth),
                        head=HeadConfig(**head_kwargs))
 
 
@@ -368,8 +377,16 @@ def experiment_preset(dataset: str = "gen1", size: str = "base",
         head_kwargs["ignore_bbox_thresh"] = (0.7, 0.35)
     cfg = ExperimentConfig(dataset=dataset_preset(dataset),
                            model=model_preset(size, **head_kwargs))
+    # experiment defaults (config/experiment/{gen1,gen4}/default.yaml):
+    # both override general.yaml's OneCycle div_factor 25 -> 20; gen4
+    # trains/evals at batch 12 (BASELINE.md: bs 12 x 2 GPU)
     lr = 2e-4 if dataset == "gen1" else 3.46e-4
-    cfg = replace(cfg, training=replace(cfg.training, learning_rate=lr))
+    tr = replace(cfg.training, learning_rate=lr,
+                 lr_scheduler=replace(cfg.training.lr_scheduler,
+                                      div_factor=20.0))
+    if dataset == "gen4":
+        tr = replace(tr, batch_size_train=12, batch_size_eval=12)
+    cfg = replace(cfg, training=tr)
     return derive(cfg)
 
 

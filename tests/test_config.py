@@ -35,3 +35,33 @@ def test_sizes():
     assert base.backbone.stage_dims == (64, 128, 256, 512)
     assert base.fpn_in_channels == (128, 256, 512)
     assert base.backbone.stage_strides == (4, 8, 16, 32)
+
+
+def test_size_matrix_matches_reference_experiments():
+    """Size presets mirror config/experiment/gen1/{tiny,small,base}.yaml:
+    tiny/small use FPN depth 0.33, small shrinks dim_head to 24 (stage-1
+    dim 48 is not divisible by the default 32), base keeps 0.67/32."""
+    for ds in ("gen1", "gen4"):
+        tiny = experiment_preset(ds, "tiny").model
+        small = experiment_preset(ds, "small").model
+        base = experiment_preset(ds, "base").model
+        assert (tiny.fpn.depth, small.fpn.depth, base.fpn.depth) \
+            == (0.33, 0.33, 0.67)
+        assert (tiny.backbone.dim_head, small.backbone.dim_head,
+                base.backbone.dim_head) == (32, 24, 32)
+        # every stage dim must split evenly into heads
+        for m in (tiny, small, base):
+            for d in m.backbone.stage_dims:
+                assert d % m.backbone.dim_head == 0
+
+
+def test_experiment_defaults_match_reference():
+    """config/experiment/{gen1,gen4}/default.yaml override general.yaml:
+    OneCycle div_factor 25 -> 20; gen4 batch 12 (BASELINE.md)."""
+    g1 = experiment_preset("gen1", "base").training
+    g4 = experiment_preset("gen4", "base").training
+    assert g1.lr_scheduler.div_factor == 20.0
+    assert g4.lr_scheduler.div_factor == 20.0
+    assert (g1.batch_size_train, g1.batch_size_eval) == (8, 8)
+    assert (g4.batch_size_train, g4.batch_size_eval) == (12, 12)
+    assert g1.learning_rate == 2e-4 and g4.learning_rate == 3.46e-4

@@ -23,6 +23,10 @@ LABEL_EVERY=${LABEL_EVERY:-2} # labeled-frame spacing (pre-WSOD-subsample)
 # stays 1, and train AP lands at 0 even after 2000 steps (measured).
 BATCH=${BATCH:-8}
 SEQ_LEN=${SEQ_LEN:-21}
+# Long TPU runs disable the timed mid-run checkpoint (CLAUDE.md: the
+# one observed chip-wedging hang was inside that save); end-of-stage
+# saves still happen. Override with CKPT_MIN for CPU debugging.
+CKPT_MIN=${CKPT_MIN:-600}
 # gate on the VALUE: ${CYCLE_CPU:+--cpu} would force CPU for
 # CYCLE_CPU=0 too (:+ substitutes for any non-empty value)
 CPU_FLAG=""
@@ -42,6 +46,7 @@ EOF
 echo "== 1. WSOD teacher (25% labels, $STEPS_TEACHER steps) =="
 python cli/train.py --dataset gen1 --size tiny --path "$WORK/data" \
     --ratio 0.25 --steps "$STEPS_TEACHER" --batch-size "$BATCH" --seq-len "$SEQ_LEN" \
+    --ckpt-every-min "$CKPT_MIN" \
     --save-dir "$WORK/runs" --exp-name teacher --val-every 0 $CPU_FLAG
 
 echo "== 2. teacher eval =="
@@ -68,6 +73,7 @@ echo "== 5. soft student on the pseudo dataset =="
 python cli/train.py --dataset gen1 --size tiny --path "$WORK/pseudo" \
     --soft --weight "$WORK/runs/teacher/ckpt_last" \
     --steps "$STEPS_STUDENT" --batch-size "$BATCH" --seq-len "$SEQ_LEN" --lr 5e-4 \
+    --ckpt-every-min "$CKPT_MIN" \
     --save-dir "$WORK/runs" --exp-name student --val-every 0 $CPU_FLAG
 
 echo "== 6. student eval =="

@@ -134,8 +134,153 @@ def _install_shims():
 
         ops.sigmoid_focal_loss = sigmoid_focal_loss
         tv.ops = ops
+
+        transforms = types.ModuleType("torchvision.transforms")
+        tf_functional = types.ModuleType("torchvision.transforms.functional")
+
+        class InterpolationMode:
+            NEAREST = "nearest"
+            BILINEAR = "bilinear"
+
+        def rotate(img, angle, interpolation=InterpolationMode.NEAREST,
+                   expand=False, center=None, fill=None):
+            """torchvision.transforms.functional.rotate tensor semantics
+            (no expand, center=None, zero fill): inverse affine matrix for a
+            rotation about the image center -> half-pixel-offset affine grid
+            -> grid_sample(align_corners=False). Needed so the reference
+            augmentor (data/utils/augmentor.py:368) runs as a parity oracle."""
+            import math
+
+            import torch
+
+            assert not expand and center is None and fill is None
+            mode = (interpolation if isinstance(interpolation, str)
+                    else "nearest")
+            h, w = img.shape[-2], img.shape[-1]
+            rot = math.radians(-angle)
+            cos_r, sin_r = math.cos(rot), math.sin(rot)
+            theta = torch.tensor(
+                [[cos_r, sin_r, 0.0], [-sin_r, cos_r, 0.0]],
+                dtype=torch.float32).unsqueeze(0)
+            d = 0.5
+            x = torch.linspace(-w * 0.5 + d, w * 0.5 + d - 1, steps=w)
+            y = torch.linspace(-h * 0.5 + d, h * 0.5 + d - 1, steps=h)
+            base = torch.empty(1, h, w, 3, dtype=torch.float32)
+            base[..., 0] = x
+            base[..., 1] = y.unsqueeze(-1)
+            base[..., 2] = 1.0
+            rescaled = theta.transpose(1, 2) / torch.tensor(
+                [0.5 * w, 0.5 * h], dtype=torch.float32)
+            grid = base.view(1, h * w, 3).bmm(rescaled).view(1, h, w, 2)
+            orig_dtype = img.dtype
+            batched = img.reshape(-1, 1, h, w).to(torch.float32)
+            out = torch.nn.functional.grid_sample(
+                batched, grid.expand(batched.shape[0], -1, -1, -1),
+                mode=mode, padding_mode="zeros", align_corners=False)
+            out = out.reshape(img.shape)
+            if not orig_dtype.is_floating_point:
+                out = out.round()
+            return out.to(orig_dtype)
+
+        tf_functional.rotate = rotate
+        tf_functional.InterpolationMode = InterpolationMode
+        transforms.InterpolationMode = InterpolationMode
+        transforms.functional = tf_functional
+        tv.transforms = transforms
+
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.ops"] = ops
+        sys.modules["torchvision.transforms"] = transforms
+        sys.modules["torchvision.transforms.functional"] = tf_functional
+
+
+def _install_heavy_stubs():
+    """Stubs for module-level imports of modules/pseudo_labeler.py that
+    its EventSeqData class never touches (pytorch_lightning, nerv, and
+    the Lightning-based modules.detection.Module)."""
+    if "pytorch_lightning" not in sys.modules:
+        pl = types.ModuleType("pytorch_lightning")
+        plu = types.ModuleType("pytorch_lightning.utilities")
+        plt_ = types.ModuleType("pytorch_lightning.utilities.types")
+        plt_.STEP_OUTPUT = object
+        pl.utilities = plu
+        plu.types = plt_
+        sys.modules.update({
+            "pytorch_lightning": pl,
+            "pytorch_lightning.utilities": plu,
+            "pytorch_lightning.utilities.types": plt_,
+        })
+    if "nerv" not in sys.modules:
+        nerv = types.ModuleType("nerv")
+        nerv_utils = types.ModuleType("nerv.utils")
+
+        class AverageMeter:
+            def __init__(self, *a, **k):
+                self.avg = 0.0
+
+            def update(self, *a, **k):
+                pass
+
+        nerv_utils.AverageMeter = AverageMeter
+        nerv.utils = nerv_utils
+        sys.modules.update({"nerv": nerv, "nerv.utils": nerv_utils})
+    if "pycocotools" not in sys.modules:
+        pct = types.ModuleType("pycocotools")
+        pct_coco = types.ModuleType("pycocotools.coco")
+        pct_eval = types.ModuleType("pycocotools.cocoeval")
+
+        class _Unavailable:                 # pragma: no cover
+            def __init__(self, *a, **k):
+                raise RuntimeError("pycocotools shim: not available")
+
+        pct_coco.COCO = _Unavailable
+        pct_eval.COCOeval = _Unavailable
+        pct.coco = pct_coco
+        pct.cocoeval = pct_eval
+        sys.modules.update({"pycocotools": pct,
+                            "pycocotools.coco": pct_coco,
+                            "pycocotools.cocoeval": pct_eval})
+    # coco_eval.py calls torch.cuda.get_device_name() at module level
+    # (crashes on CPU-only torch) and needs pycocotools; EventSeqData
+    # never reaches it, so stub the leaf module.
+    if "utils.evaluation.prophesee.metrics.coco_eval" not in sys.modules:
+        ce = types.ModuleType("utils.evaluation.prophesee.metrics.coco_eval")
+
+        def _no_eval(*a, **k):              # pragma: no cover
+            raise RuntimeError("coco_eval shim: not available")
+
+        ce.evaluate_detection = _no_eval
+        ce.coco_eval_type = "shim"
+        sys.modules["utils.evaluation.prophesee.metrics.coco_eval"] = ce
+    if "modules.detection" not in sys.modules:
+        det = types.ModuleType("modules.detection")
+        det.Module = object
+        sys.modules["modules.detection"] = det
+
+
+def import_reference_pseudo():
+    """Returns (EventSeqData, tta_postprocess, ObjectLabels) from the
+    reference pseudo-label writer (modules/pseudo_labeler.py:94-407)."""
+    _install_shims()
+    _install_heavy_stubs()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    from data.genx_utils.labels import ObjectLabels
+    from modules.pseudo_labeler import EventSeqData, tta_postprocess
+    return EventSeqData, tta_postprocess, ObjectLabels
+
+
+def import_reference_augmentor():
+    """Returns (RandomSpatialAugmentorGenX, ObjectLabels, DataType) from
+    the reference spatial augmentor (data/utils/augmentor.py)."""
+    _install_shims()
+    _install_heavy_stubs()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    from data.genx_utils.labels import ObjectLabels
+    from data.utils.augmentor import RandomSpatialAugmentorGenX
+    from data.utils.types import DataType
+    return RandomSpatialAugmentorGenX, ObjectLabels, DataType
 
 
 def import_reference_detector():

@@ -35,10 +35,15 @@ def resize_nearest(frames: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
 
 
 def rotate_frames_nearest(frames: np.ndarray, angle_deg: float) -> np.ndarray:
-    """Counter-clockwise rotation about the canvas int-center, nearest
-    sampling, zero fill (torchvision rotate(NEAREST) semantics)."""
+    """Counter-clockwise rotation about the canvas pixel-center
+    ((w-1)/2, (h-1)/2), nearest sampling (round-half-even), zero fill —
+    torchvision rotate(NEAREST) tensor semantics, verified differentially
+    (tests/test_augment_ref.py). NOTE the reference's LABEL rotation pivots
+    about the int-center (labels.py:341-342), half a pixel away — that
+    frame/label inconsistency is the reference's own; boxes here keep the
+    reference's label convention (data/labels.py Boxes.rotate)."""
     h, w = frames.shape[-2:]
-    cy, cx = h // 2, w // 2
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     rad = math.radians(angle_deg)
     cos, sin = math.cos(rad), math.sin(rad)
     yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
@@ -158,6 +163,12 @@ class SpatialAugmentor:
                        for l in skipped]
 
         applied = replace(p, zoom_in_xy=None)
+        # reference application order: hflip -> rotate -> zoom
+        # (augmentor.py:466-474; weak2strong replays the same order,
+        # ssod.py:391-404)
+        if p.hflip:
+            ev = ev[..., ::-1].copy()
+            map_labels(lambda l: l.flip_lr())
         if p.rotate_deg != 0.0:
             ev = rotate_frames_nearest(ev, p.rotate_deg)
             map_labels(lambda l: l.rotate(p.rotate_deg))
@@ -181,9 +192,6 @@ class SpatialAugmentor:
             out[..., y0:y0 + win_h, x0:x0 + win_w] = small
             ev = out
             map_labels(lambda l: l.zoom_out((x0, y0), f))
-        if p.hflip:
-            ev = ev[..., ::-1].copy()
-            map_labels(lambda l: l.flip_lr())
 
         out = dict(sample)
         out["ev_repr"] = ev
@@ -228,12 +236,14 @@ def weak_to_strong_boxes(boxes: Boxes, weak: AugmentParams,
     """Map boxes living in the WEAK view (teacher predictions) into the
     STRONG view's coordinate space (student supervision): undo the weak
     h-flip (its own inverse), then replay the strong transform in
-    apply()'s order — rotate, zoom, h-flip (reference semantics:
-    modules/utils/ssod.py:353-426). `strong` must be the
-    `last_applied` record of the strong view's apply() call so the
-    per-window zoom-in crop origin is the one actually used."""
+    apply()'s order — h-flip, rotate, zoom (reference semantics:
+    modules/utils/ssod.py:353-426 and augmentor.py:466-474). `strong`
+    must be the `last_applied` record of the strong view's apply() call
+    so the per-window zoom-in crop origin is the one actually used."""
     out = boxes
     if weak.hflip:
+        out = out.flip_lr()
+    if strong.hflip:
         out = out.flip_lr()
     if strong.rotate_deg != 0.0:
         out = out.rotate(strong.rotate_deg)
@@ -242,6 +252,4 @@ def weak_to_strong_boxes(boxes: Boxes, weak: AugmentParams,
     elif strong.zoom_out is not None:
         x0, y0, f = strong.zoom_out
         out = out.zoom_out((x0, y0), f)
-    if strong.hflip:
-        out = out.flip_lr()
     return out

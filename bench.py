@@ -203,11 +203,14 @@ def _bench_dataset(dataset: str, iters: int, latency: bool,
         _throughput(cfg, det, variables, B, L, iters), 2)}
     if latency:
         try:
-            mean_ms, p50_ms, p99_ms = _b1_latency(cfg, det, variables)
+            mean_ms, p50_ms, p95_ms, p99_ms, n = _b1_latency(
+                cfg, det, variables)
             out["b1_latency_ms"] = round(mean_ms, 3)
             if p50_ms is not None:
                 out["b1_latency_p50_ms"] = round(p50_ms, 3)
+                out["b1_latency_p95_ms"] = round(p95_ms, 3)
                 out["b1_latency_p99_ms"] = round(p99_ms, 3)
+                out["b1_latency_n"] = n
         except Exception as e:                      # pragma: no cover
             out["latency_error"] = f"{type(e).__name__}: {e}"
     if train:
@@ -282,19 +285,22 @@ def main():
 
 
 def _trace_step_percentiles(out_dir: str, iters: int):
-    """(p50_ms, p99_ms) per-iteration durations of an on-device repeat
-    loop, recovered from a jax.profiler device trace: pick the device-lane
-    op that recurs once per iteration with the largest total time and
-    diff its start timestamps (iterations serialize through the carried
-    state, so consecutive starts bound each step). Returns (None, None)
-    if no per-iteration marker op is found."""
+    """(p50_ms, p95_ms, p99_ms, n) per-iteration durations of an
+    on-device repeat loop, recovered from a jax.profiler device trace:
+    pick the device-lane op that recurs once per iteration with the
+    largest total time and diff its start timestamps (iterations
+    serialize through the carried state, so consecutive starts bound
+    each step). `n` is the number of per-iteration duration samples the
+    percentiles are computed from — a p99 is only meaningful when n is
+    >= ~1000 (VERDICT r3 item 4). Returns (None,)*4 if no per-iteration
+    marker op is found."""
     import numpy as np
 
     from leod_tpu.utils.trace import is_scan_wrapper, load_device_events
 
     path, _, dev_events = load_device_events(out_dir)
     if path is None:
-        return None, None
+        return None, None, None, None
     starts: dict = {}
     durs: dict = {}
     for e in dev_events:
@@ -311,23 +317,29 @@ def _trace_step_percentiles(out_dir: str, iters: int):
             if best is None or durs[name] > durs[best]:
                 best, stride = name, k
     if best is None:
-        return None, None
+        return None, None, None, None
     ts = np.sort(np.asarray(starts[best], np.float64))[::stride]
     d = np.diff(ts) / 1e3                              # us -> ms
     if len(d) < 8:
-        return None, None
-    return float(np.percentile(d, 50)), float(np.percentile(d, 99))
+        return None, None, None, None
+    return (float(np.percentile(d, 50)), float(np.percentile(d, 95)),
+            float(np.percentile(d, 99)), int(len(d)))
 
 
-def _b1_latency(cfg, det, variables=None, iters: int = 100):
+def _b1_latency(cfg, det, variables=None, iters: int = 1024):
     """Per-frame detect latency at batch 1. One frame = backbone step +
     FPN + head + decode with carried LSTM state — the real-time streaming
-    cadence. Returns (mean_ms, p50_ms, p99_ms): the mean comes from
-    host-timing an on-device loop (per-call host timing through the
-    remote-TPU tunnel would measure the tunnel); the p50/p99 the
-    BASELINE.md north star names come from per-iteration timestamps in a
-    jax.profiler device trace of the same loop (None if trace capture
-    is unavailable). The loop is state-carried so iterations serialize."""
+    cadence. Returns (mean_ms, p50_ms, p95_ms, p99_ms, n): the mean
+    comes from host-timing an on-device loop (per-call host timing
+    through the remote-TPU tunnel would measure the tunnel); the
+    p50/p95/p99 the BASELINE.md north star names come from
+    per-iteration timestamps in a jax.profiler device trace of the same
+    loop (None if trace capture is unavailable), with `n` the sample
+    count behind them. iters defaults to 1024 so the p99 rests on >=1k
+    per-iteration samples rather than being a renamed p50 (VERDICT r3
+    item 4); the host-visible tunnel-inclusive tail is a separate
+    measurement (tools/profile_serve.py). The loop is state-carried so
+    iterations serialize."""
     import shutil
     import tempfile
 
@@ -359,18 +371,18 @@ def _b1_latency(cfg, det, variables=None, iters: int = 100):
     outs, states = run(variables, x, states)
     outs.block_until_ready()
     mean_ms = (time.perf_counter() - t0) / iters * 1e3
-    p50 = p99 = None
+    p50 = p95 = p99 = n = None
     tmp = tempfile.mkdtemp(prefix="leod_b1_trace_")
     try:
         with jax.profiler.trace(tmp):
             outs, states = run(variables, x, states)
             outs.block_until_ready()
-        p50, p99 = _trace_step_percentiles(tmp, iters)
+        p50, p95, p99, n = _trace_step_percentiles(tmp, iters)
     except Exception:                                  # pragma: no cover
         pass                     # trace capture unsupported: mean only
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return mean_ms, p50, p99
+    return mean_ms, p50, p95, p99, n
 
 
 def _train_throughput(cfg, det, variables=None, iters: int = 4):

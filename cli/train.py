@@ -202,6 +202,7 @@ def main():
         state = base
     final = trainer.fit(seed=args.seed, state=state,
                         profile_steps=args.profile_steps)
+    trainer.close()
     print(f"done at step {int(final.step)}")
 
 

@@ -126,6 +126,14 @@ class MetricLogger:
                     step=int(step) if step is not None else None)
         return sink
 
+    def close(self):
+        """Release the JSONL handle (idempotent). Flush-per-line in
+        log() keeps the file complete even unclosed; this exists so
+        long-lived processes (serving, notebooks) don't hold the fd."""
+        if self._f:
+            self._f.close()
+            self._f = None
+
     def log(self, record: Dict[str, Any]):
         if not self._primary:
             return
@@ -313,6 +321,15 @@ class Trainer:
         # top-2 best-AP retention (reference: callbacks/custom.py:9-29,
         # save_top_k=2): ckpt_best = argmax val/AP, ckpt_best2 = runner-up
         self._best_aps = [-1.0, -1.0]
+
+    def close(self):
+        """Release trainer-held resources: waits for in-flight async
+        checkpoint writes, then closes the metrics JSONL handle.
+        Idempotent; fit() can still be called again afterwards (the
+        logger re-check is the only closed state, and log() on a closed
+        logger still prints/sinks)."""
+        self.wait_for_checkpoints()
+        self.logger.close()
 
     def request_stop(self):
         """Ask fit() to checkpoint and exit at the next step boundary.

@@ -67,6 +67,8 @@ def test_bench_percentiles_from_synthetic_trace(tmp_path):
     events.append({"ph": "X", "pid": 7, "name": "%while.1",
                    "ts": 0, "dur": 40000})
     _write_trace(str(tmp_path), events)
-    p50, p99 = bench._trace_step_percentiles(str(tmp_path), iters)
+    p50, p95, p99, n = bench._trace_step_percentiles(str(tmp_path), iters)
     assert abs(p50 - 2.0) < 1e-6
-    assert p99 > 2.0                  # straggler pulls the tail up
+    assert p99 >= p95 >= p50          # straggler pulls the tail up
+    assert p99 > 2.0
+    assert n == iters - 1             # one duration sample per diff

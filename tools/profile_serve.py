@@ -101,6 +101,7 @@ def main():
         "requests": int(total),
         "req_per_s": round(total / wall, 1),
         "latency_p50_ms": round(float(np.percentile(all_lat, 50)), 3),
+        "latency_p95_ms": round(float(np.percentile(all_lat, 95)), 3),
         "latency_p99_ms": round(float(np.percentile(all_lat, 99)), 3),
         "latency_mean_ms": round(float(all_lat.mean()), 3),
         "device_steps": engine.stats()["steps"],

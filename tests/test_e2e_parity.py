@@ -135,3 +135,47 @@ def test_eval_stack_parity_gen4_flavor(tmp_path):
     for k in ("AP", "AP_50", "AP_75", "AP_pedestrian", "AP_two-wheeler",
               "AP_car"):
         assert m_jax[k] == pytest.approx(m_ref[k], abs=1e-3), k
+
+
+@pytest.mark.slow
+def test_soft_student_loss_parity(setup, tmp_path):
+    """Probe-3 CI version (tools/e2e_parity.py --soft-steps): pseudo
+    labels generated from a shared teacher, then BOTH frameworks take
+    soft (ignore-region) training steps on the identical dense pseudo
+    batch stream — reference rnndet-soft routing, yolo_head.py:776-972
+    get_losses_w_ignore. First-step loss must match exactly (identical
+    math on identical weights); early steps stay within a few percent."""
+    import jax
+    import jax.numpy as jnp
+
+    from leod_tpu.data.loader import StreamTrainLoader, open_split_sequences
+    from leod_tpu.models.detector import Detector
+
+    cfg, ref, variables = setup
+    det = Detector(cfg.model, dtype=jnp.float32)
+
+    # give the teacher enough signal to emit confident detections
+    # (pseudo thresholds are 0.1; a default-prior objectness bias of
+    # ~0.01 would otherwise yield an empty pseudo label field)
+    seqs = open_split_sequences(cfg.dataset, "train")
+    it = iter(StreamTrainLoader(seqs, cfg.dataset, ep.B, seed=3))
+    warm = [next(it) for _ in range(15)]
+    for s in seqs:
+        s.close()
+    ep.ref_train(ref, warm, cfg.training.learning_rate)
+    teacher_vars = ep.convert_ref(ref)
+
+    pseudo_root = str(tmp_path / "pseudo")
+    ep.generate_pseudo(det, jax.device_put(teacher_vars), cfg, pseudo_root)
+    cfg_soft = ep.build_soft_cfg(pseudo_root)
+    det_soft = Detector(cfg_soft.model, dtype=jnp.float32)
+    batches = ep.collect_dense_batches(cfg_soft, steps=5)
+
+    jl, _ = ep.jax_train(det_soft, teacher_vars, batches, cfg_soft,
+                         budget=ep.L)
+    ref_soft = ep.make_soft_reference(ref)
+    rl = ep.ref_train(ref_soft, batches, cfg.training.learning_rate)
+
+    assert jl[0] == pytest.approx(rl[0], rel=1e-4)
+    rel = [abs(a - b) / max(abs(a), 1e-9) for a, b in zip(rl, jl)]
+    assert float(np.mean(rel)) < 0.08, rel

@@ -25,6 +25,18 @@ converted torch->jax with leod_tpu.convert):
      the same init; per-step losses are compared, then the final weights
      of EACH framework are evaluated through its OWN eval stack.
 
+  3. SOFT-STUDENT PARITY (--soft-steps > 0, default on): the probe-2
+     torch-trained model becomes the TEACHER. Pseudo labels are
+     generated once with leod_tpu's PseudoLabelRunner (itself
+     differentially validated against the reference writer,
+     tests/test_pseudo_ref.py) from the converted teacher weights; then
+     BOTH frameworks re-train from the same teacher on the IDENTICAL
+     pseudo batch stream with the ignore-region loss (reference
+     rnndet-soft: ignore_bbox_thresh [0.7, 0.35], config/model/
+     rnndet-soft.yaml + yolo_head.py:776-972 get_losses_w_ignore).
+     Per-step soft losses are compared, and each soft student is
+     evaluated on the withheld-GT val split through both eval stacks.
+
 The dataset geometry (L=4 windows, labels every 4 reprs starting at
 repr 3) puts exactly ONE labeled frame in every window, so both
 frameworks run their detection heads on the exact same frame set and
@@ -217,9 +229,11 @@ def ref_train(ref, batches, lr: float) -> list:
 # JAX side
 # ---------------------------------------------------------------------------
 
-def jax_train(det, variables, batches, cfg) -> tuple:
+def jax_train(det, variables, batches, cfg, budget: int = 1) -> tuple:
     """leod_tpu training on the identical batch stream. Returns
-    (per-step losses, final variables)."""
+    (per-step losses, final variables). `budget`: labeled frames
+    harvested per slot (1 for the GT geometry; L for full-dense pseudo
+    windows)."""
     import jax
     import jax.numpy as jnp
 
@@ -235,9 +249,11 @@ def jax_train(det, variables, batches, cfg) -> tuple:
     step_fn = jax.jit(make_train_step(det, optimizer))
     losses = []
     for batch in batches:
-        hb = harvest_frames(batch, 1, MAX_GT, (H, W), fold_w=1)
+        hb = harvest_frames(batch, budget, MAX_GT, (H, W), fold_w=1)
         assert hb["dropped_frames"] == 0 and bool(hb["frame_mask"].all()), (
-            "parity geometry violated: expected exactly 1 label per slot")
+            f"parity geometry violated: expected exactly {budget} "
+            "label(s) per slot (padded harvest rows would skew BatchNorm "
+            "statistics vs the reference's ragged harvest)")
         dev = {k: jnp.asarray(hb[k]) for k in
                ("ev", "is_first", "frame_t", "frame_mask", "labels")}
         state, metrics = step_fn(state, dev)
@@ -250,6 +266,82 @@ def jax_streaming_eval(det, variables, cfg, conf: float = 0.001) -> dict:
 
     return run_streaming_eval(det, variables, cfg, split="val",
                               conf_threshold=conf)
+
+
+# ---------------------------------------------------------------------------
+# Probe 3: soft-student (ignore-region loss) cross-framework round
+# ---------------------------------------------------------------------------
+
+SOFT_IGNORE_THRESH = (0.7, 0.35)    # reference config/model/rnndet-soft.yaml
+
+
+def make_soft_reference(teacher):
+    """Fresh reference model with the rnndet-soft head config (routes
+    forward_detect -> get_losses_w_ignore, yolo_head.py:385-416,776-972)
+    carrying the teacher's weights (incl. BN running stats)."""
+    from ref_shim import import_reference_detector, reference_model_config
+
+    RefDet = import_reference_detector()
+    soft = RefDet(reference_model_config(
+        head_kwargs={"ignore_bbox_thresh": list(SOFT_IGNORE_THRESH)}))
+    soft.load_state_dict(teacher.state_dict())
+    return soft
+
+
+def build_soft_cfg(pseudo_root: str):
+    """Parity config over the pseudo dataset with the rnndet-soft head."""
+    cfg = build_cfg(pseudo_root)
+    head = dataclasses.replace(cfg.model.head,
+                               ignore_bbox_thresh=SOFT_IGNORE_THRESH)
+    return dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, head=head))
+
+
+def generate_pseudo(det, teacher_vars, cfg, pseudo_root: str) -> dict:
+    """Pseudo-label the train split with leod_tpu's runner (hflip TTA,
+    tracking + inpainting — the writer is differentially validated in
+    tests/test_pseudo_ref.py). Low thresholds keep the label field dense
+    AND rich in sub-(0.7/0.35)-confidence boxes, which is exactly what
+    exercises the ignore path downstream."""
+    import jax
+
+    from leod_tpu.selftrain.pseudo_labeler import PseudoLabelConfig
+    from leod_tpu.selftrain.runner import PseudoLabelRunner
+
+    pl_cfg = PseudoLabelConfig(obj_thresh=(0.1, 0.1), cls_thresh=(0.1, 0.1),
+                               min_track_len=3, tta_hflip=True)
+    runner = PseudoLabelRunner(det, jax.device_put(teacher_vars), cfg,
+                               pl_cfg, pseudo_root)
+    return runner.run()
+
+
+def collect_dense_batches(cfg, steps: int, seed: int = 1) -> list:
+    """Shared soft-train batch stream, filtered to FULL-DENSE windows
+    (every slot labeled at all L timesteps). Ragged windows would feed
+    the reference's ragged harvest a different BatchNorm batch than our
+    static-budget gather (whose padded rows enter BN) — density removes
+    that confound, mirroring probe 2's 1-label-per-window geometry."""
+    from leod_tpu.data.loader import StreamTrainLoader, open_split_sequences
+
+    seqs = open_split_sequences(cfg.dataset, "train")
+    loader = StreamTrainLoader(seqs, cfg.dataset, B, seed=seed)
+    batches, seen = [], 0
+    it = iter(loader)
+    while len(batches) < steps and seen < max(20 * steps, 200):
+        batch = next(it)
+        seen += 1
+        # <= MAX_GT too: our static pad truncates beyond the budget while
+        # the reference's ragged pad keeps everything — an overfull frame
+        # would silently train the two sides on different box sets
+        if all(l is not None and 0 < len(l) <= MAX_GT
+               for row in batch["labels"] for l in row):
+            batches.append(batch)
+    for s in seqs:
+        s.close()
+    print(f"  dense-window yield: {len(batches)}/{seen} windows scanned")
+    assert len(batches) >= min(steps, 10), (
+        "teacher too weak for a dense pseudo stream — raise --steps")
+    return batches
 
 
 # ---------------------------------------------------------------------------
@@ -268,10 +360,14 @@ def _delta_table(name, a, b):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--soft-steps", type=int, default=None,
+                    help="soft-student probe steps (default: --steps; "
+                         "0 disables probe 3)")
     ap.add_argument("--eval-only", action="store_true")
     ap.add_argument("--root", default=None,
                     help="existing synthetic dataset root (else generated)")
     args = ap.parse_args()
+    soft_steps = args.steps if args.soft_steps is None else args.soft_steps
 
     import jax
     jax.config.update("jax_platforms", "cpu")   # torch-comparable numerics
@@ -352,6 +448,62 @@ def main():
                             "eval_ref": m_ref_t,
                             "eval_jax_same_weights": m_jax_same,
                             "eval_jax": m_jax_t}
+
+        if soft_steps > 0:
+            # -- probe 3: soft-student round from the probe-2 teacher --
+            print(f"\npseudo-labeling the train split with the torch-"
+                  f"trained teacher (converted) ...")
+            pseudo_root = os.path.join(root, "pseudo")
+            teacher_vars = convert_ref(ref)
+            quality = generate_pseudo(det, teacher_vars, cfg, pseudo_root)
+            if quality:
+                print("  pseudo quality: " + ", ".join(
+                    f"{k.split('/')[-1]}={v:.3f}"
+                    for k, v in sorted(quality.items())
+                    if "AP" in k or "prec" in k or "recall" in k))
+
+            cfg_soft = build_soft_cfg(pseudo_root)
+            det_soft = Detector(cfg_soft.model, dtype=jnp.float32)
+            batches_s = collect_dense_batches(cfg_soft, soft_steps)
+
+            print(f"soft-training both frameworks for {len(batches_s)} "
+                  f"steps (ignore_bbox_thresh {SOFT_IGNORE_THRESH}) ...")
+            jls, student_vars = jax_train(det_soft, teacher_vars,
+                                          batches_s, cfg_soft, budget=L)
+            print(f"  leod_tpu done ({time.time() - t0:.0f}s)")
+            ref_soft = make_soft_reference(ref)
+            rls = ref_train(ref_soft, batches_s,
+                            cfg.training.learning_rate)
+            print(f"  reference done ({time.time() - t0:.0f}s)")
+
+            rel_s = [abs(a - b) / max(abs(a), 1e-9)
+                     for a, b in zip(rls, jls)]
+            ks = min(20, len(rel_s))
+            print("\nsoft loss trajectory (step: ref / jax):")
+            for i in range(0, len(rls), max(len(rls) // 10, 1)):
+                print(f"  {i:>4}: {rls[i]:.4f} / {jls[i]:.4f}")
+            print(f"mean |dloss|/loss over first {ks} steps : "
+                  f"{np.mean(rel_s[:ks]):.4%}")
+            print(f"mean |dloss|/loss over all {len(rel_s)} steps: "
+                  f"{np.mean(rel_s):.4%}")
+
+            # soft students on the withheld-GT val split, both stacks
+            m_ref_s = ref_streaming_eval(ref_soft, cfg)
+            m_jax_s_same = jax_streaming_eval(
+                det, jax.device_put(convert_ref(ref_soft)), cfg)
+            worst = max(worst, _delta_table(
+                "eval-stack parity @ shared SOFT-STUDENT weights "
+                "(torch-trained, converted)", m_ref_s, m_jax_s_same))
+            m_jax_s = jax_streaming_eval(
+                det, jax.device_put(student_vars), cfg)
+            worst = max(worst, _delta_table(
+                f"end-to-end AP after {len(batches_s)} independently-"
+                "soft-trained steps", m_ref_s, m_jax_s))
+            results["soft"] = {"loss_ref": rls, "loss_jax": jls,
+                               "pseudo_quality": quality,
+                               "eval_ref": m_ref_s,
+                               "eval_jax_same_weights": m_jax_s_same,
+                               "eval_jax": m_jax_s}
 
     out = os.path.join(root, "e2e_parity.json")
     with open(out, "w") as f:

@@ -72,3 +72,22 @@ def test_bench_percentiles_from_synthetic_trace(tmp_path):
     assert p99 >= p95 >= p50          # straggler pulls the tail up
     assert p99 > 2.0
     assert n == iters - 1             # one duration sample per diff
+
+
+def test_trace_agg_train_mode_smoke(tmp_path):
+    """tools/trace_agg.py PROF_MODE=train end-to-end on CPU at a tiny
+    config: capture a real jax.profiler trace of the jitted train-step
+    loop and aggregate it (device-lane rows exist and categorize)."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PROF_DATASET="gen1",
+               PROF_MODE="train", PROF_SIZE="tiny", PROF_SEQ_LEN="5",
+               PROF_ITERS="2", PROF_BATCH="2")
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "trace_agg.py"),
+         str(tmp_path / "trace")],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "workload: gen1 train B=2 L=5 x2 iters" in out.stdout
+    assert "== by category ==" in out.stdout

@@ -1,15 +1,17 @@
 #!/usr/bin/env python
-"""Capture a jax.profiler trace of the flagship inference loop and
-aggregate device-lane op durations.
+"""Capture a jax.profiler trace of a flagship loop (inference or train,
+gen1 or gen4) and aggregate device-lane op durations.
 
 Per CLAUDE.md: isolated-component scan timings carry a fixed layout-copy
 overhead at the loop boundary, so the only trustworthy attribution is a
 real device trace of the full step. This automates the capture +
 aggregation: prints total device time per fused-op category and the top
-individual ops, for one L-window inference iteration.
+individual ops, per iteration of the exact benched program.
 
 Usage: python tools/trace_agg.py [out_dir]
-Env: PROF_BATCH (16), PROF_ITERS (8)
+Env: PROF_DATASET (gen1|gen4), PROF_MODE (infer|train),
+     PROF_BATCH (16 infer / 8 train), PROF_SEQ_LEN (recipe L),
+     PROF_ITERS (8), PROF_SIZE (base), BENCH_REMAT (full, train mode)
 """
 import collections
 import os
@@ -21,36 +23,75 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+# the axon plugin forces jax_platforms=axon,cpu at interpreter start; a
+# JAX_PLATFORMS env request (e.g. the CPU CI smoke) must be re-applied
+# through jax.config to actually take effect (CLAUDE.md)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 def capture(out_dir: str):
     import bench
     from leod_tpu.config import experiment_preset
     from leod_tpu.models.detector import Detector
 
-    B = int(os.environ.get("PROF_BATCH", "16"))
-    L = int(os.environ.get("PROF_SEQ_LEN", "21"))
+    dataset = os.environ.get("PROF_DATASET", "gen1")
+    mode = os.environ.get("PROF_MODE", "infer")
     iters = int(os.environ.get("PROF_ITERS", "8"))
-    cfg = experiment_preset("gen1", "base")
+    cfg = experiment_preset(dataset, os.environ.get("PROF_SIZE", "base"))
+    L = int(os.environ.get("PROF_SEQ_LEN",
+                           str(cfg.dataset.sequence_length)))
+    if L != cfg.dataset.sequence_length:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, dataset=dataclasses.replace(cfg.dataset,
+                                             sequence_length=L))
     det = Detector(cfg.model, dtype=jnp.bfloat16)
     variables = det.init(jax.random.PRNGKey(0), batch_size=1)
-    infer = bench.build_infer(det)    # the exact benched program
 
-    def run_iters(variables, ev, states):
-        def body(carry, _):
-            bump = (carry[0][0][0, 0, 0, 0] > 0).astype(det.dtype)
-            preds, states = infer(variables, ev, carry, bump)
-            return states, preds[0, 0, 0]
-        states, outs = jax.lax.scan(body, states, None, length=iters)
-        return outs, states
+    if mode == "train":
+        # the exact benched train step; no carry bump needed — params
+        # change every iteration, nothing is loop-invariant (CLAUDE.md)
+        from leod_tpu.train.step import make_train_step
 
-    run_iters = jax.jit(run_iters)
-    ev = bench.make_ev(cfg, B, L)
-    states = det.init_states(B)
-    outs, _ = run_iters(variables, ev, states)       # compile
+        B = int(os.environ.get("PROF_BATCH", "8"))
+        remat = os.environ.get("BENCH_REMAT", "full")
+        state, batch, optimizer = bench.build_train_setup(
+            cfg, det, B=B, variables=variables)
+        step_fn = make_train_step(det, optimizer, remat=remat)
+
+        def run_iters(state, batch):
+            def body(s, _):
+                s, metrics = step_fn(s, batch)
+                return s, metrics["loss"]
+            s, losses = jax.lax.scan(body, state, None, length=iters)
+            return losses, s
+
+        run_iters = jax.jit(run_iters)
+        args = (state, batch)
+    elif mode == "infer":
+        B = int(os.environ.get("PROF_BATCH", "16"))
+        infer = bench.build_infer(det)    # the exact benched program
+
+        def run_iters(variables, ev, states):
+            def body(carry, _):
+                bump = (carry[0][0][0, 0, 0, 0] > 0).astype(det.dtype)
+                preds, states = infer(variables, ev, carry, bump)
+                return states, preds[0, 0, 0]
+            states, outs = jax.lax.scan(body, states, None, length=iters)
+            return outs, states
+
+        run_iters = jax.jit(run_iters)
+        args = (variables, bench.make_ev(cfg, B, L), det.init_states(B))
+    else:
+        raise SystemExit(f"PROF_MODE={mode!r}: expected infer|train")
+
+    print(f"workload: {dataset} {mode} B={B} L={L} x{iters} iters")
+    outs, _ = run_iters(*args)                       # compile
     outs.block_until_ready()
 
     with jax.profiler.trace(out_dir):
-        outs, _ = run_iters(variables, ev, states)
+        outs, _ = run_iters(*args)
         outs.block_until_ready()
     return iters * L, iters
 

@@ -37,6 +37,49 @@ _BIG = 1.0e15
 _TOPK_IOU = 10
 
 
+def _extract_k(x: jnp.ndarray, k: int, largest: bool) -> jnp.ndarray:
+    """Values of the k largest/smallest entries along the last axis,
+    in extraction (sorted) order, WITHOUT a full sort.
+
+    XLA lowers lax.top_k and argsort on TPU to full stable sorts of the
+    whole row — measured as ~23% of the gen4 train step (three
+    [48,64,5040] sorts, tools/trace_agg.py). SimOTA only ever needs
+    k <= 10 extrema (dynamic-k = clamp(int(sum top-10 IoU)) <= 10), so
+    k cheap reduction passes (arg-extremum + index mask) replace the
+    sorts. Ties extract equal VALUES in index order, so the value list
+    matches the sorted one exactly."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    fill = -jnp.inf if largest else jnp.inf
+
+    def body(xc, _):
+        if largest:
+            v, i = jnp.max(xc, axis=-1), jnp.argmax(xc, axis=-1)
+        else:
+            v, i = jnp.min(xc, axis=-1), jnp.argmin(xc, axis=-1)
+        return jnp.where(iota == i[..., None], fill, xc), v
+
+    _, vs = jax.lax.scan(body, x, None, length=k)
+    return jnp.moveaxis(vs, 0, -1)                          # [..., k]
+
+
+def _cheapest_k_mask(cost: jnp.ndarray, dynamic_k: jnp.ndarray,
+                     K: int) -> jnp.ndarray:
+    """Mask of the dynamic_k cheapest entries per row (stable rank
+    semantics: ties broken by ascending index, exactly like
+    ranks-from-double-argsort) without sorting. Requires dynamic_k <= K.
+
+    rank < k  <=>  cost < kth   OR   (cost == kth  AND
+                   #ties-at-kth up to and incl. this entry <= k - #below)
+    where kth is the k-th smallest value (duplicates counted)."""
+    bot = _extract_k(cost, K, largest=False)                       # [G, K]
+    kth = jnp.take_along_axis(
+        bot, jnp.clip(dynamic_k - 1, 0, K - 1)[:, None], axis=-1)  # [G, 1]
+    below = cost < kth
+    eq = cost == kth
+    tie_budget = dynamic_k[:, None] - jnp.sum(below, axis=1, keepdims=True)
+    return below | (eq & (jnp.cumsum(eq, axis=1) <= tie_budget))
+
+
 class AssignResult(NamedTuple):
     fg: jnp.ndarray            # [A] bool — anchor is a matched foreground
     ignore: jnp.ndarray        # [A] bool — exclude from objectness loss
@@ -121,15 +164,13 @@ def simota_assign(labels: jnp.ndarray,
     cost = jnp.where(pair_ok, cost, _BIG)
 
     # --- dynamic-k from top-10 IoU mass per GT ---
-    a = iou.shape[1]
-    topk_iou = jax.lax.top_k(iou, min(_TOPK_IOU, a))[0]            # [G, <=10]
+    K = min(_TOPK_IOU, iou.shape[1])
+    topk_iou = _extract_k(iou, K, largest=True)                    # [G, <=10]
     dynamic_k = jnp.maximum(jnp.sum(topk_iou, axis=-1).astype(jnp.int32), 1)
     dynamic_k = jnp.where(valid_gt, dynamic_k, 0)                  # [G]
 
-    # --- k cheapest candidates per GT (rank < k) ---
-    order = jnp.argsort(cost, axis=1, stable=True)
-    ranks = jnp.argsort(order, axis=1, stable=True)                # [G, A]
-    matching = (ranks < dynamic_k[:, None]) & (cost < _BIG / 2)
+    # --- k cheapest candidates per GT (stable rank < k, sort-free) ---
+    matching = _cheapest_k_mask(cost, dynamic_k, K) & (cost < _BIG / 2)
 
     # --- conflict resolution: globally cheapest GT wins the anchor ---
     anchor_deg = jnp.sum(matching, axis=0)                         # [A]

@@ -175,3 +175,37 @@ def test_mark_low_conf_as_ignore():
     assert out[0, 0, 0] == 0
     assert out[0, 1, 0] == IGNORE
     assert out[0, 2, 0] == 0  # padding untouched
+
+
+def test_extract_k_matches_sort_with_ties():
+    """_extract_k must reproduce the sorted head exactly, including
+    duplicated values (each duplicate extracted separately)."""
+    from leod_tpu.ops.simota import _extract_k
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        x = rng.integers(0, 6, (5, 37)).astype(np.float32)  # heavy ties
+        k = int(rng.integers(1, 11))
+        top = np.asarray(_extract_k(jnp.asarray(x), k, largest=True))
+        bot = np.asarray(_extract_k(jnp.asarray(x), k, largest=False))
+        np.testing.assert_array_equal(top, np.sort(x, -1)[:, ::-1][:, :k])
+        np.testing.assert_array_equal(bot, np.sort(x, -1)[:, :k])
+
+
+def test_cheapest_k_mask_matches_stable_ranks_with_ties():
+    """The sort-free selection must equal ranks-from-double-argsort
+    (stable, ties broken by ascending index) for every k in [0, K] on
+    tie-heavy rows — the exact semantics the reference's topk gives."""
+    from leod_tpu.ops.simota import _cheapest_k_mask
+
+    rng = np.random.default_rng(3)
+    K = 10
+    for _ in range(30):
+        G, A = 6, 43
+        cost = rng.integers(0, 7, (G, A)).astype(np.float32)
+        k = rng.integers(0, K + 1, G).astype(np.int32)
+        got = np.asarray(_cheapest_k_mask(jnp.asarray(cost),
+                                          jnp.asarray(k), K))
+        order = np.argsort(cost, axis=1, kind="stable")
+        ranks = np.argsort(order, axis=1, kind="stable")
+        np.testing.assert_array_equal(got, ranks < k[:, None])

@@ -22,6 +22,7 @@ TPU-native one:
 """
 from __future__ import annotations
 
+import collections
 import json
 import os
 import threading
@@ -195,7 +196,7 @@ def zero_states_like(exported_or_fn, det: Optional[Detector] = None,
 # ---------------------------------------------------------------------------
 
 class _Request:
-    __slots__ = ("stream", "frame", "event", "result", "error")
+    __slots__ = ("stream", "frame", "event", "result", "error", "t0")
 
     def __init__(self, stream: str, frame: np.ndarray):
         self.stream = stream
@@ -203,6 +204,7 @@ class _Request:
         self.event = threading.Event()
         self.result: Optional[np.ndarray] = None
         self.error: Optional[BaseException] = None
+        self.t0 = time.monotonic()             # enqueue time (latency)
 
 
 class ServingEngine:
@@ -234,6 +236,9 @@ class ServingEngine:
         self._wake = threading.Condition(self._lock)
         self._closed = False
         self._steps = 0
+        # client-visible latency (enqueue -> result, incl. coalescing
+        # wait + device step + host copy) over the last 4096 requests
+        self._lat = collections.deque(maxlen=4096)
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
@@ -271,9 +276,19 @@ class ServingEngine:
         return req.result
 
     def stats(self) -> Dict[str, Any]:
+        """Engine counters plus client-visible latency percentiles
+        (p50/p95/p99 ms over the last <=4096 completed requests; None
+        until the first request completes)."""
         with self._lock:
-            return {"steps": self._steps, "streams": len(self._slots),
-                    "slots": self.batch_size, "pending": len(self._pending)}
+            lat = np.asarray(self._lat, np.float64)
+            out = {"steps": self._steps, "streams": len(self._slots),
+                   "slots": self.batch_size, "pending": len(self._pending),
+                   "latency_n": int(lat.size)}
+        for name, q in (("latency_ms_p50", 50), ("latency_ms_p95", 95),
+                        ("latency_ms_p99", 99)):
+            out[name] = (float(np.percentile(lat, q) * 1e3) if lat.size
+                         else None)
+        return out
 
     def close(self) -> None:
         with self._lock:
@@ -364,8 +379,10 @@ class ServingEngine:
                     jnp.asarray(active))
                 dets = np.asarray(dets)
                 valid = np.asarray(valid)
+                now = time.monotonic()
                 with self._lock:
                     self._steps += 1
+                    self._lat.extend(now - r.t0 for r in batch)
                 for req, (slot, _) in zip(batch, rows):
                     req.result = dets[slot][valid[slot]]
                     req.event.set()

@@ -149,7 +149,12 @@ def test_engine_interleaved_streams(setup):
         for t in range(3):
             got["a"].append(engine.detect("a", frames[2 * t]))
             got["b"].append(engine.detect("b", frames[2 * t + 1]))
-        assert engine.stats()["streams"] == 2
+        st = engine.stats()
+        assert st["streams"] == 2
+        # latency percentiles come from the 6 completed requests
+        assert st["latency_n"] == 6
+        assert 0 < st["latency_ms_p50"] <= st["latency_ms_p95"]
+        assert st["latency_ms_p95"] <= st["latency_ms_p99"]
     finally:
         engine.close()
 

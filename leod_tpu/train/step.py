@@ -59,7 +59,7 @@ def _remat_body(body, policy: str):
 
 def _scan_backbone(det: Detector, variables, states0, ev_seq,
                    prebatch_stage1: bool = False, fused: bool = False,
-                   remat: str = "full"):
+                   remat: str = "full", unroll: int = 1):
     """Scan the backbone over time; returns FPN-stage features per step.
 
     ev_seq [L, B, H, W, C] (any dtype; cast to compute dtype here).
@@ -74,6 +74,10 @@ def _scan_backbone(det: Detector, variables, states0, ev_seq,
 
     remat: TBPTT rematerialization policy for the scan body
     ("full" | "dots" | "none", see _REMAT_POLICIES).
+
+    unroll: lax.scan unroll factor; unroll == L emits straight-line HLO
+    (no while loop), which tools/mfu.py uses to get exact cost-analysis
+    op counts (the rolled loop's counts ignore the trip count).
     """
     stages = det.cfg.fpn.in_stages
 
@@ -94,7 +98,7 @@ def _scan_backbone(det: Detector, variables, states0, ev_seq,
             return new_states, tuple(feats[s] for s in stages)
 
         final_states, feats_seq = jax.lax.scan(_remat_body(body, remat),
-                                               states0, y1)
+                                               states0, y1, unroll=unroll)
         return final_states, dict(zip(stages, feats_seq))
 
     if remat == "stage1":
@@ -114,7 +118,7 @@ def _scan_backbone(det: Detector, variables, states0, ev_seq,
             return new_states, tuple(feats[s] for s in stages)
 
     final_states, feats_seq = jax.lax.scan(_remat_body(body, remat),
-                                           states0, ev_seq)
+                                           states0, ev_seq, unroll=unroll)
     return final_states, dict(zip(stages, feats_seq))
 
 
@@ -131,7 +135,7 @@ def _gather_frames(feats_seq: Dict[int, jnp.ndarray], frame_t: jnp.ndarray):
 
 
 def make_train_step(det: Detector, optimizer, with_preds: bool = False,
-                    remat: str = "full"):
+                    remat: str = "full", unroll: int = 1):
     """Returns train_step(state, batch) -> (state, metrics).
 
     batch: ev [L,B,H,W,C], is_first [B], frame_t [B,M], frame_mask [B,M],
@@ -143,6 +147,7 @@ def make_train_step(det: Detector, optimizer, with_preds: bool = False,
     callbacks/detection.py:20-107). Costs nothing unless fetched.
 
     remat: TBPTT remat policy for the backbone scan (TrainingConfig.remat).
+    unroll: backbone-scan unroll factor (see _scan_backbone; cost tools).
     """
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
@@ -153,7 +158,8 @@ def make_train_step(det: Detector, optimizer, with_preds: bool = False,
             v = {"params": params, "batch_stats": batch_stats}
             final_states, feats_seq = _scan_backbone(det, v, states0,
                                                      batch["ev"],
-                                                     remat=remat)
+                                                     remat=remat,
+                                                     unroll=unroll)
             feats = _gather_frames(feats_seq, batch["frame_t"])
             out, new_stats = det.forward_detect(v, feats, train=True)
             labels = batch["labels"].reshape((-1,) + batch["labels"].shape[2:])

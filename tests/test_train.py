@@ -122,6 +122,47 @@ def test_remat_policies_equivalent():
         np.testing.assert_allclose(v, ref, rtol=1e-5, err_msg=k)
 
 
+def test_unrolled_scan_equivalent():
+    """make_train_step(unroll=L) emits straight-line HLO instead of a
+    while loop (tools/mfu.py uses this for exact cost-analysis counts:
+    the rolled loop's counts ignore the trip count) — the computed step
+    must be identical to the rolled one."""
+    import jax
+    from leod_tpu.models.detector import Detector
+    from leod_tpu.train.optim import make_optimizer
+    from leod_tpu.train.step import TrainState, make_train_step
+
+    model = ModelConfig(
+        backbone=BackboneConfig(embed_dim=32, in_res_hw=(64, 96),
+                                partition_size=(2, 3)),
+        head=HeadConfig(num_classes=2, max_gt=8))
+    det = Detector(model, dtype=jnp.float32)
+    variables = det.init(jax.random.PRNGKey(0), batch_size=1)
+    optimizer, _ = make_optimizer(TrainingConfig(learning_rate=1e-4))
+    B, L, M = 2, 3, 2
+    rng = np.random.default_rng(0)
+    labels = np.zeros((B, M, 8, 7), np.float32)
+    labels[:, :, 0] = [0, 40, 30, 24, 20, 1, 1]
+    batch = {
+        "ev": jnp.asarray(rng.integers(0, 50, (L, B, 64, 96, 20)),
+                          jnp.uint8),
+        "is_first": jnp.zeros((B,), bool),
+        "frame_t": jnp.asarray(np.tile([L - 2, L - 1], (B, 1)), jnp.int32),
+        "frame_mask": jnp.ones((B, M), bool),
+        "labels": jnp.asarray(labels),
+    }
+    results = {}
+    for unroll in (1, L):
+        state = TrainState(variables=variables,
+                           opt_state=optimizer.init(variables["params"]),
+                           states=det.init_states(B, jnp.float32),
+                           step=jnp.zeros((), jnp.int32))
+        step = jax.jit(make_train_step(det, optimizer, unroll=unroll))
+        _, m = step(state, batch)
+        results[unroll] = (float(m["loss"]), float(m["grad_norm"]))
+    np.testing.assert_allclose(results[L], results[1], rtol=1e-5)
+
+
 def test_metric_logger_sinks(tmp_path):
     """Pluggable remote sinks (the reference's WandB slot,
     loggers/utils.py:5-24): registered callables receive each

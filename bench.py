@@ -82,19 +82,29 @@ def make_ev(cfg, B, L, seed: int = 1):
             * 32).astype(jnp.uint8)
 
 
-def build_train_setup(cfg, det, B: int = 8, M: int = 6, variables=None):
-    """(state, batch, optimizer) for the Gen1 train recipe on synthetic
+def build_train_setup(cfg, det, B: int = 8, M: int = 0, variables=None):
+    """(state, batch, optimizer) for the train recipe on synthetic
     data — shared by the throughput and MFU tools. Pass already-init
     `variables` to avoid a redundant jitted init (each one is an extra
-    compile+run through the remote-TPU tunnel)."""
+    compile+run through the remote-TPU tunnel).
+
+    M (labeled frames harvested per slot) defaults to the budget the
+    real Trainer derives for the recipe (default_frames_per_slot):
+    6 for gen1 L=21, 2 for gen4 L=5 — benching a fixed M=6 at gen4
+    charged the step 3x the recipe's head+SimOTA work. Pass M
+    explicitly to pin it (tools/mfu.py pins the production M across
+    its probe lengths so the calibration residual stays fixed)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from leod_tpu.train.optim import make_optimizer
     from leod_tpu.train.step import TrainState
+    from leod_tpu.train.trainer import default_frames_per_slot
 
     L = cfg.dataset.sequence_length
+    if M <= 0:
+        M = default_frames_per_slot(L, cfg.model.use_label_every)
     G = cfg.model.head.max_gt
     if variables is None:
         variables = det.init(jax.random.PRNGKey(0), batch_size=1)

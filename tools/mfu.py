@@ -166,14 +166,20 @@ def calibrated_train_cost(cfg, det, variables, remat, L, B=8,
 
     Probes must be >= 4 (build_train_setup's frame_t spans [3, L-1])."""
     from leod_tpu.train.step import make_train_step
+    from leod_tpu.train.trainer import default_frames_per_slot
 
+    # pin the PRODUCTION harvest budget M across both probe lengths —
+    # build_train_setup would otherwise derive M from each probe's
+    # (shorter) L, and the head/SimOTA residual would stop being fixed
+    # between probes, corrupting the slope/residual split
+    M = default_frames_per_slot(L, cfg.model.use_label_every)
     pts = []
     for l in probes:
         c_l = dataclasses.replace(
             cfg, dataset=dataclasses.replace(cfg.dataset,
                                              sequence_length=l))
         state, batch, optimizer = bench.build_train_setup(
-            c_l, det, B=B, variables=variables)
+            c_l, det, B=B, M=M, variables=variables)
         step_fn = make_train_step(det, optimizer, remat=remat, unroll=l)
         compiled = jax.jit(step_fn).lower(state, batch).compile()
         pts.append(_cost(compiled))

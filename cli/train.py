@@ -75,10 +75,12 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--fp32", action="store_true")
-    ap.add_argument("--mesh", default=None, metavar="DP[xSP]",
+    ap.add_argument("--mesh", default=None, metavar="DP[xSP[xTP]]",
                     help="device mesh: '8' = 8-way data parallel, "
                          "'4x2' = 4-way data x 2-way spatial (image "
-                         "height sharded; parallel/mesh.py)")
+                         "height sharded), '2x2x2' adds 2-way tensor "
+                         "parallelism (attention heads + MLP inner dim; "
+                         "parallel/mesh.py)")
     ap.add_argument("--wandb-project", default=None,
                     help="also stream metrics to WandB (requires the "
                          "wandb package; reference: loggers/utils.py)")
@@ -157,9 +159,9 @@ def main():
     mesh = None
     if args.mesh:
         from leod_tpu.parallel.mesh import make_mesh
-        dp, _, sp = args.mesh.partition("x")
-        mesh = make_mesh(int(dp) * (int(sp) if sp else 1),
-                         space=int(sp) if sp else 1)
+        dims = [int(d) for d in args.mesh.split("x")]
+        dp, sp, tp = (dims + [1, 1])[:3]
+        mesh = make_mesh(dp * sp * tp, space=sp, model=tp)
     trainer = Trainer(cfg, dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
                       mesh=mesh)
     if args.wandb_project:

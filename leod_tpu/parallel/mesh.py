@@ -1,4 +1,5 @@
-"""Device-mesh parallelism: data (batch/stream-slot) x space (image H).
+"""Device-mesh parallelism: data (batch/stream-slot) x space (image H)
+x model (tensor parallelism over attention heads / MLP inner dim).
 
 The reference's only parallelism is DDP over NCCL
 (reference: train.py:126-133; SURVEY.md section 2.6). The TPU-native
@@ -15,6 +16,14 @@ windowed attention local when the shard boundary lands on window rows
 (H/shards divisible by the partition size). This scales the dominant
 memory term — TBPTT activations at 1Mpx — by 1/space per chip, which a
 batch-only shard cannot do below B = num_devices.
+
+Also beyond the reference: an optional `model` axis applies
+Megatron-style tensor parallelism to the transformer blocks purely
+through PARAMETER shardings (`shard_params` + GSPMD propagation — no
+model-code changes): qkv / MLP-in column-parallel, out-proj / MLP-out
+row-parallel, one all-reduce per block half. Targets multi-chip B=1
+serving latency and single-stream activation footprints; compose as
+(data, space, model).
 """
 from __future__ import annotations
 
@@ -26,25 +35,44 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 SPACE_AXIS = "space"
+MODEL_AXIS = "model"
 
 
-def make_mesh(num_devices: Optional[int] = None, space: int = 1) -> Mesh:
-    """1-D data mesh, or a 2-D (data, space) mesh when `space` > 1.
+def make_mesh(num_devices: Optional[int] = None, space: int = 1,
+              model: int = 1) -> Mesh:
+    """Device mesh over up to three axes: (data[, space][, model]).
 
-    Spatial sharding is single-controller only (the multi-host local-row
-    assembly below assumes one mesh axis of whole batch rows)."""
+    data   — batch / stream-slot sharding (gradient all-reduce).
+    space  — image-height sharding (conv halo exchange), see module doc.
+    model  — Megatron-style tensor parallelism over the transformer
+             blocks: attention heads and the MLP inner dim are sharded
+             via the parameter shardings from `shard_params`; XLA/GSPMD
+             inserts the per-block all-reduces. Useful when one stream's
+             latency matters more than throughput (multi-chip B=1
+             serving) or when activations of a single stream exceed one
+             chip, complementing `space`.
+
+    space/model sharding is single-controller only (the multi-host
+    local-row assembly below assumes one mesh axis of whole batch rows).
+    """
     if num_devices is not None and num_devices > len(jax.devices()):
         raise ValueError(
             f"mesh wants {num_devices} devices, only {len(jax.devices())} "
             f"exist — silently training at a smaller parallel degree "
             f"would misreport the recipe")
     devices = jax.devices()[:num_devices] if num_devices else jax.devices()
-    if space <= 1:
+    if space <= 1 and model <= 1:
         return Mesh(np.array(devices), (DATA_AXIS,))
-    assert len(devices) % space == 0, (len(devices), space)
-    assert jax.process_count() == 1, "space sharding is single-controller"
-    grid = np.array(devices).reshape(len(devices) // space, space)
-    return Mesh(grid, (DATA_AXIS, SPACE_AXIS))
+    assert len(devices) % (space * model) == 0, (len(devices), space, model)
+    assert jax.process_count() == 1, (
+        "space/model sharding is single-controller")
+    axes = [("data", len(devices) // (space * model))]
+    if space > 1:
+        axes.append((SPACE_AXIS, space))
+    if model > 1:
+        axes.append((MODEL_AXIS, model))
+    grid = np.array(devices).reshape([n for _, n in axes])
+    return Mesh(grid, tuple(name for name, _ in axes))
 
 
 def data_axis_size(mesh: Mesh) -> int:
@@ -95,6 +123,53 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
             lambda v: jax.make_array_from_process_local_data(
                 s, np.asarray(v)), tree)
     return jax.device_put(tree, s)
+
+
+# Megatron-style tensor-parallel placement for the transformer blocks,
+# keyed on parameter-tree path suffixes (flax module/param names). The
+# qkv projection is column-parallel (output features sharded: each model
+# shard owns a contiguous block of heads — qkv output layout is
+# [head, 3*dim_head], models/layers.py SelfAttention), attention and the
+# head-split run shard-local, and the out-projection is row-parallel
+# (input features sharded, GSPMD inserts one all-reduce per block).
+# Same column/row pairing for the MLP. Everything else (convs, LSTM,
+# norms, FPN, head) is replicated — the transformer blocks carry the
+# bulk of the FLOPs, and the conv trunk is already shardable via the
+# `space` axis. `model` should divide the smallest head count
+# (stage-1 embed_dim / dim_head); misaligned degrees and the gated-MLP
+# variant still compute correctly (GSPMD reshards) but pay extra
+# collectives.
+_TP_RULES = (
+    (("attn", "qkv", "kernel"), (None, MODEL_AXIS)),
+    (("attn", "qkv", "bias"), (MODEL_AXIS,)),
+    (("attn", "proj", "kernel"), (MODEL_AXIS, None)),
+    (("mlp", "proj_in", "kernel"), (None, MODEL_AXIS)),
+    (("mlp", "proj_in", "bias"), (MODEL_AXIS,)),
+    (("mlp", "proj_out", "kernel"), (MODEL_AXIS, None)),
+)
+
+
+def param_spec(path) -> P:
+    """PartitionSpec for one parameter-tree path (tree_flatten_with_path
+    keys). Applies to any tree that embeds the flax param names — the
+    variables dict and optax state (mu/nu mirror the param tree) alike."""
+    names = tuple(getattr(k, "key", getattr(k, "name", None)) for k in path)
+    for suffix, spec in _TP_RULES:
+        if names[-len(suffix):] == suffix:
+            return P(*spec)
+    return P()
+
+
+def shard_params(mesh: Mesh, tree: Any) -> Any:
+    """Place a params-bearing tree (variables / opt_state) on the mesh:
+    replicated everywhere except the tensor-parallel rules above, which
+    only bind when the mesh has a `model` axis."""
+    if MODEL_AXIS not in mesh.axis_names:
+        return replicate(mesh, tree)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    out = [jax.device_put(v, NamedSharding(mesh, param_spec(p)))
+           for p, v in flat]
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def local_mesh(mesh: Mesh) -> Mesh:

@@ -229,8 +229,8 @@ def run_streaming_eval(det: Detector, variables, cfg: ExperimentConfig,
         evaluator = PropheseeEvaluator(dst.name, dst.downsample_by_factor_2)
     states = det.init_states(B)
     if mesh is not None:
-        from ..parallel.mesh import replicate, shard_states
-        variables = replicate(mesh, variables)
+        from ..parallel.mesh import shard_params, shard_states
+        variables = shard_params(mesh, variables)
         states = shard_states(mesh, states)
     n_cls = cfg.model.head.num_classes
     prefetcher = Prefetcher(iter(loader))
@@ -350,10 +350,10 @@ class Trainer:
     def _place(self, state: TrainState) -> TrainState:
         if self.mesh is None:
             return state
-        from ..parallel.mesh import replicate, shard_states
+        from ..parallel.mesh import replicate, shard_params, shard_states
         return TrainState(
-            variables=replicate(self.mesh, state.variables),
-            opt_state=replicate(self.mesh, state.opt_state),
+            variables=shard_params(self.mesh, state.variables),
+            opt_state=shard_params(self.mesh, state.opt_state),
             states=shard_states(self.mesh, state.states),
             step=replicate(self.mesh, state.step))
 

@@ -181,6 +181,111 @@ def test_mesh_eval_falls_back_when_batch_too_small(exp_cfg):
     assert m is not None and np.isfinite(m["AP"])
 
 
+def test_param_spec_rules():
+    """Tensor-parallel placement rules fire on the param paths (and the
+    mirrored optax mu/nu paths) and nowhere else."""
+    from jax.sharding import PartitionSpec as P
+
+    from leod_tpu.parallel.mesh import MODEL_AXIS, param_spec
+
+    def spec(tree):
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        assert len(flat) == 1
+        return param_spec(flat[0][0])
+
+    qkv = {"backbone": {"stage2": {"block0_window": {"attn": {"qkv": {
+        "kernel": 0}}}}}}
+    assert spec(qkv) == P(None, MODEL_AXIS)
+    proj = {"stage1": {"block0_grid": {"attn": {"proj": {"kernel": 0}}}}}
+    assert spec(proj) == P(MODEL_AXIS, None)
+    mlp_in = {"block0_grid": {"mlp": {"proj_in": {"bias": 0}}}}
+    assert spec(mlp_in) == P(MODEL_AXIS)
+    mlp_out = {"block0_grid": {"mlp": {"proj_out": {"kernel": 0}}}}
+    assert spec(mlp_out) == P(MODEL_AXIS, None)
+    # replicated: attention out-proj bias, convs, norms, LSTM
+    assert spec({"attn": {"proj": {"bias": 0}}}) == P()
+    assert spec({"down": {"conv": {"kernel": 0}}}) == P()
+    assert spec({"lstm": {"gates": {"kernel": 0}}}) == P()
+    assert spec({"norm1": {"scale": 0}}) == P()
+
+
+def test_tensor_parallel_matches_single_device(exp_cfg):
+    """One jitted train step on a (data=4, model=2) mesh — attention
+    heads + MLP inner dim sharded via param placement, GSPMD inserting
+    the block all-reduces — gives the single-device loss."""
+    from leod_tpu.data.loader import (StreamTrainLoader, harvest_frames,
+                                      open_split_sequences)
+    from leod_tpu.parallel.mesh import MODEL_AXIS, shard_batch
+    from leod_tpu.train.optim import make_optimizer
+    from leod_tpu.train.step import make_train_step
+
+    cfg = exp_cfg
+    trainer = Trainer(cfg, dtype=jnp.float32)
+    seqs = open_split_sequences(cfg.dataset, "train")
+    loader = StreamTrainLoader(seqs, cfg.dataset, 8, seed=0)
+    batch = next(iter(loader))
+    hb = harvest_frames(batch, 2, cfg.model.head.max_gt, (64, 96))
+    dev = {k: hb[k] for k in ("ev", "is_first", "frame_t", "frame_mask",
+                              "labels")}
+    optimizer, _ = make_optimizer(cfg.training)
+    step_fn = make_train_step(trainer.det, optimizer)
+
+    state1 = trainer.init_state(8, seed=0)
+    _, m1 = jax.jit(step_fn)(state1, dev)
+
+    mesh = make_mesh(model=2)
+    assert mesh.shape == {DATA_AXIS: 4, MODEL_AXIS: 2}
+    trainer_tp = Trainer(cfg, dtype=jnp.float32, mesh=mesh)
+    trainer_tp.det = trainer.det
+    state_tp = trainer_tp._place(trainer.init_state(8, seed=0))
+    # qkv column-parallel, out-proj row-parallel; optax moments follow
+    qkv = state_tp.variables["params"]["backbone"]["stage1"][
+        "block0_window"]["attn"]["qkv"]["kernel"]
+    assert tuple(qkv.sharding.spec)[:2] == (None, MODEL_AXIS)
+    proj = state_tp.variables["params"]["backbone"]["stage1"][
+        "block0_window"]["attn"]["proj"]["kernel"]
+    assert tuple(proj.sharding.spec)[0] == MODEL_AXIS
+    mu_qkv = state_tp.opt_state[1][0].mu["backbone"]["stage1"][
+        "block0_window"]["attn"]["qkv"]["kernel"]
+    assert tuple(mu_qkv.sharding.spec)[:2] == (None, MODEL_AXIS)
+    dev_tp = shard_batch(mesh, dev)
+    new_state, m_tp = jax.jit(step_fn)(state_tp, dev_tp)
+    np.testing.assert_allclose(float(m1["loss"]), float(m_tp["loss"]),
+                               rtol=1e-4)
+    # gradients/updates keep the TP sharding (no silent replication)
+    new_qkv = new_state.variables["params"]["backbone"]["stage1"][
+        "block0_window"]["attn"]["qkv"]["kernel"]
+    assert not new_qkv.sharding.is_fully_replicated
+
+
+def test_3d_mesh_fit_and_eval(exp_cfg):
+    """Full fit + streaming eval over the 3-D (data, space, model) mesh;
+    eval metrics match the 1-device run exactly."""
+    from leod_tpu.models.detector import Detector
+    from leod_tpu.parallel.mesh import MODEL_AXIS, SPACE_AXIS
+    from leod_tpu.train.trainer import run_streaming_eval
+
+    mesh = make_mesh(space=2, model=2)
+    assert mesh.shape == {DATA_AXIS: 2, SPACE_AXIS: 2, MODEL_AXIS: 2}
+    trainer = Trainer(exp_cfg, dtype=jnp.float32, mesh=mesh)
+    state = trainer.fit(max_steps=2)
+    assert int(state.step) == 2
+    assert state.states[0][0].sharding.spec[:2] == (DATA_AXIS, SPACE_AXIS)
+    for leaf in jax.tree.leaves(state.variables["params"]):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+    det = Detector(exp_cfg.model, dtype=jnp.float32)
+    variables = det.init(jax.random.PRNGKey(0), batch_size=1)
+    kw = dict(split="train", batch_size=2, frames_per_slot=4,
+              shard_index=0, num_shards=1)
+    m_single = run_streaming_eval(det, variables, exp_cfg, **kw)
+    m_mesh = run_streaming_eval(det, variables, exp_cfg,
+                                mesh=make_mesh(2, model=2), **kw)
+    for k, v in m_single.items():
+        np.testing.assert_allclose(m_mesh[k], v, rtol=1e-6,
+                                   err_msg=f"metric {k}")
+
+
 def test_spatial_mesh_gen4_flavor(tmp_path_factory):
     """Spatial sharding at gen4 flavor (ds2 dataset, 3 classes, height
     shard across the gen4-style resolution) — the 1Mpx activation-memory

@@ -84,6 +84,9 @@ def main():
     ap.add_argument("--wandb-project", default=None,
                     help="also stream metrics to WandB (requires the "
                          "wandb package; reference: loggers/utils.py)")
+    ap.add_argument("--gradflow", action="store_true",
+                    help="log per-PARAMETER mean |grad| every log interval "
+                         "(reference gradflow charts, callbacks/gradflow.py)")
     args = ap.parse_args()
 
     import jax
@@ -136,6 +139,8 @@ def main():
         tr = dataclasses.replace(tr, val_check_interval=args.val_every)
     if args.ckpt_every_min is not None:
         tr = dataclasses.replace(tr, ckpt_every_min=args.ckpt_every_min)
+    if args.gradflow:
+        tr = dataclasses.replace(tr, gradflow=True)
     if args.max_det_frames is not None:
         tr = dataclasses.replace(tr, max_det_frames=args.max_det_frames)
     elif args.soft and cfg.model.use_label_every <= 1:
@@ -160,6 +165,11 @@ def main():
     if args.mesh:
         from leod_tpu.parallel.mesh import make_mesh
         dims = [int(d) for d in args.mesh.split("x")]
+        if len(dims) > 3 or any(d < 1 for d in dims):
+            raise ValueError(
+                f"--mesh {args.mesh!r}: expected 1-3 positive dims "
+                f"(DP[xSP[xTP]]) — silently truncating would train at a "
+                f"smaller parallel degree than requested")
         dp, sp, tp = (dims + [1, 1])[:3]
         mesh = make_mesh(dp * sp * tp, space=sp, model=tp)
     trainer = Trainer(cfg, dtype=jnp.float32 if args.fp32 else jnp.bfloat16,

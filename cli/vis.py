@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--show-conf", type=float, default=0.01,
                     help="draw boxes above this in red (filtered-out)")
     ap.add_argument("--fps", type=int, default=20)
+    ap.add_argument("--reverse", action="store_true",
+                    help="also run each sequence TIME-REVERSED and write a "
+                         "side-by-side <name>_both.mp4 (normal | reversed "
+                         "played back forwards) — reference "
+                         "vis_pred.py:239-319")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--fp32", action="store_true")
     args = ap.parse_args()
@@ -85,11 +90,14 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     seqs = open_split_sequences(dst, args.split)[: args.num_seqs]
     L = dst.sequence_length
-    for seq in seqs:
-        win = WindowedSequence(seq, L, start_from_zero=True)
+
+    def render_seq(seq, time_flip=False):
+        """Stream one sequence (optionally time-reversed) through the
+        detector; returns the list of rendered BGR frames."""
+        win = WindowedSequence(seq, L, start_from_zero=True,
+                               time_flip=time_flip)
         states = det.init_states(1)
-        name = os.path.basename(seq.seq_dir)
-        vw = None
+        frames = []
         for i in range(len(win)):
             batch = collate([win[i]])
             hb = harvest_frames(batch, L, cfg.model.head.max_gt,
@@ -121,16 +129,38 @@ def main():
                 gt = batch["labels"][t][0]
                 if gt is not None:
                     draw_boxes(img, gt.xyxy(), (0, 0, 0))
-                if vw is None:
-                    h, w = img.shape[:2]
-                    vw = cv2.VideoWriter(
-                        os.path.join(args.out, f"{name}.mp4"),
-                        cv2.VideoWriter_fourcc(*"mp4v"), args.fps, (w, h))
-                vw.write(img)
-        if vw is not None:
-            vw.release()
+                frames.append(img)
+        return frames
+
+    def write_video(path, frames):
+        h, w = frames[0].shape[:2]
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             args.fps, (w, h))
+        for img in frames:
+            vw.write(img)
+        vw.release()
+        print(f"wrote {path}")
+
+    for seq in seqs:
+        name = os.path.basename(seq.seq_dir)
+        frames = render_seq(seq)
+        if frames:
+            write_video(os.path.join(args.out, f"{name}.mp4"), frames)
+        if args.reverse:
+            # run the sequence time-reversed with fresh state, play the
+            # result back FORWARDS, and hstack normal | reversed so
+            # temporal-consistency failures are visible side by side
+            # (reference: vis_pred.py:283-317)
+            rev = render_seq(seq, time_flip=True)[::-1]
+            n = min(len(frames), len(rev))
+            if n:
+                # even pad width: mp4v rounds odd frame widths, which
+                # would desync the writer's size from the frames
+                pad = np.full((frames[0].shape[0], 4, 3), 255, np.uint8)
+                both = [np.concatenate([a, pad, b], axis=1)
+                        for a, b in zip(frames[:n], rev[:n])]
+                write_video(os.path.join(args.out, f"{name}_both.mp4"), both)
         seq.close()
-        print(f"wrote {os.path.join(args.out, name + '.mp4')}")
 
 
 if __name__ == "__main__":

@@ -242,6 +242,9 @@ class TrainingConfig:
     # <run_dir>/viz/ (reference logs panels every 5k steps,
     # callbacks/detection.py:20-107); 0 disables
     viz_every_steps: int = 5000
+    # per-PARAMETER mean |grad| in the step metrics (hundreds of scalars;
+    # reference gradflow bar charts, callbacks/gradflow.py:10-27)
+    gradflow: bool = False
     num_workers_train: int = 4
     num_workers_eval: int = 4
     seed: int = 0

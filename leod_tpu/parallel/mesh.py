@@ -66,7 +66,7 @@ def make_mesh(num_devices: Optional[int] = None, space: int = 1,
     assert len(devices) % (space * model) == 0, (len(devices), space, model)
     assert jax.process_count() == 1, (
         "space/model sharding is single-controller")
-    axes = [("data", len(devices) // (space * model))]
+    axes = [(DATA_AXIS, len(devices) // (space * model))]
     if space > 1:
         axes.append((SPACE_AXIS, space))
     if model > 1:
@@ -177,6 +177,10 @@ def local_mesh(mesh: Mesh) -> Mesh:
     host-local computations (streaming eval postprocess) that must read
     results back with numpy: a multi-host global array is not fully
     addressable, so per-process work runs on a local mesh instead."""
+    assert len(mesh.axis_names) == 1, (
+        "local_mesh only supports 1-D (data-only) meshes: flattening a "
+        "multi-axis mesh to one local axis would silently change the "
+        "layout", mesh.axis_names)
     mine = [d for d in mesh.devices.reshape(-1)
             if d.process_index == jax.process_index()]
     return Mesh(np.array(mine), mesh.axis_names)

@@ -135,7 +135,8 @@ def _gather_frames(feats_seq: Dict[int, jnp.ndarray], frame_t: jnp.ndarray):
 
 
 def make_train_step(det: Detector, optimizer, with_preds: bool = False,
-                    remat: str = "full", unroll: int = 1):
+                    remat: str = "full", unroll: int = 1,
+                    gradflow: bool = False):
     """Returns train_step(state, batch) -> (state, metrics).
 
     batch: ev [L,B,H,W,C], is_first [B], frame_t [B,M], frame_mask [B,M],
@@ -148,6 +149,10 @@ def make_train_step(det: Detector, optimizer, with_preds: bool = False,
 
     remat: TBPTT remat policy for the backbone scan (TrainingConfig.remat).
     unroll: backbone-scan unroll factor (see _scan_backbone; cost tools).
+    gradflow: also emit per-PARAMETER mean |grad| under
+    "gradflow/<dotted path>" (reference: callbacks/gradflow.py:10-27
+    logs a per-parameter |grad| bar chart) — hundreds of scalars per
+    step, so off by default; the coarse per-module norms always ride.
     """
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
@@ -182,6 +187,11 @@ def make_train_step(det: Detector, optimizer, with_preds: bool = False,
         # per-module gradient norms (reference: callbacks/gradflow.py)
         for mod in ("backbone", "fpn", "head"):
             metrics[f"grad_norm/{mod}"] = optax.global_norm(grads[mod])
+        if gradflow:
+            flat, _ = jax.tree_util.tree_flatten_with_path(grads)
+            for path, g in flat:
+                name = ".".join(str(getattr(k, "key", k)) for k in path)
+                metrics[f"gradflow/{name}"] = jnp.mean(jnp.abs(g))
         if with_preds:
             out = jax.lax.stop_gradient(out)
             metrics["preds"] = jnp.concatenate(

@@ -585,7 +585,8 @@ class Trainer:
         train_step = jax.jit(
             make_train_step(self.det, self.optimizer,
                             with_preds=viz_every > 0,
-                            remat=cfg.training.remat),
+                            remat=cfg.training.remat,
+                            gradflow=cfg.training.gradflow),
             donate_argnums=(0,))
         M = (cfg.training.max_det_frames or
              (cfg.dataset.sequence_length if ssod_batcher is not None else

@@ -48,6 +48,28 @@ def test_train_time_viz_panels(exp_cfg, tmp_path):
     assert len(panels) == 2, panels    # steps 2 and 4
 
 
+def test_gradflow_per_parameter_metrics(exp_cfg, tmp_path):
+    """--gradflow logs per-PARAMETER mean |grad| scalars (reference:
+    callbacks/gradflow.py:10-27 per-parameter bar charts)."""
+    import json
+
+    cfg = dataclasses.replace(
+        exp_cfg,
+        training=dataclasses.replace(exp_cfg.training, gradflow=True),
+        save_dir=str(tmp_path), exp_name="gf")
+    trainer = Trainer(cfg, dtype=jnp.float32)
+    trainer.fit(max_steps=1, eval_split="val")
+    with open(os.path.join(trainer.run_dir, "metrics.jsonl")) as f:
+        recs = [json.loads(line) for line in f]
+    gf = {k: v for r in recs for k, v in r.items()
+          if k.startswith("gradflow/")}
+    # one scalar per parameter leaf, spanning all three modules
+    assert len(gf) > 50, len(gf)
+    for mod in ("backbone", "fpn", "head"):
+        assert any(k.startswith(f"gradflow/{mod}") for k in gf), mod
+    assert all(np.isfinite(v) and v >= 0 for v in gf.values())
+
+
 def test_fit_and_eval_and_resume(exp_cfg):
     trainer = Trainer(exp_cfg, dtype=jnp.float32)
     state = trainer.fit(max_steps=4, eval_split="val")

@@ -30,6 +30,10 @@ LABEL_EVERY=${LABEL_EVERY:-2} # labeled-frame spacing (pre-WSOD-subsample)
 # stays 1, and train AP lands at 0 even after 2000 steps (measured).
 BATCH=${BATCH:-8}
 SEQ_LEN=${SEQ_LEN:-21}
+# Model size: the reference self-training protocol is for BASE-size
+# models (reference docs/benchmark.md:57-135); tiny is the fast debug
+# setting. Override with SIZE=base for the model-faithful cycle.
+SIZE=${SIZE:-tiny}
 # Long TPU runs disable the timed mid-run checkpoint (CLAUDE.md: the
 # one observed chip-wedging hang was inside that save); end-of-stage
 # saves still happen. Override with CKPT_MIN for CPU debugging.
@@ -62,7 +66,7 @@ mark_done 0; fi
 
 if done_stage 1; then echo "== 1. WSOD teacher == (done, skip)"; else
 echo "== 1. WSOD teacher (25% labels, $STEPS_TEACHER steps) =="
-python cli/train.py --dataset gen1 --size tiny --path "$WORK/data" \
+python cli/train.py --dataset gen1 --size "$SIZE" --path "$WORK/data" \
     --ratio 0.25 --steps "$STEPS_TEACHER" --batch-size "$BATCH" --seq-len "$SEQ_LEN" \
     --ckpt-every-min "$CKPT_MIN" --auto-resume \
     --save-dir "$WORK/runs" --exp-name teacher --val-every 0 $CPU_FLAG
@@ -70,7 +74,7 @@ mark_done 1; fi
 
 if done_stage 2; then echo "== 2. teacher eval == (done, skip)"; else
 echo "== 2. teacher eval =="
-python cli/val.py --dataset gen1 --size tiny --path "$WORK/data" --split val \
+python cli/val.py --dataset gen1 --size "$SIZE" --path "$WORK/data" --split val \
     --seq-len "$SEQ_LEN" --ckpt "$WORK/runs/teacher/ckpt_last" $CPU_FLAG \
     | tee "$WORK/teacher_eval.json"
 mark_done 2; fi
@@ -80,7 +84,7 @@ echo "== 3. pseudo-label generation (2 shards, hflip TTA) =="
 # a re-run after an interruption regenerates both shards: predict.py
 # overwrites per-sequence outputs, so a partial first attempt is safe
 for SHARD in 0 1; do
-  python cli/predict.py --dataset gen1 --size tiny --path "$WORK/data" \
+  python cli/predict.py --dataset gen1 --size "$SIZE" --path "$WORK/data" \
       --ratio 0.25 --ckpt "$WORK/runs/teacher/ckpt_last" \
       --save-dir "$WORK/pseudo" --seq-len "$SEQ_LEN" --batch-size 3 \
       --tta-hflip --obj-thresh 0.3 0.15 --cls-thresh 0.3 0.15 \
@@ -98,7 +102,7 @@ mark_done 4; fi
 
 if done_stage 5; then echo "== 5. soft student == (done, skip)"; else
 echo "== 5. soft student on the pseudo dataset =="
-python cli/train.py --dataset gen1 --size tiny --path "$WORK/pseudo" \
+python cli/train.py --dataset gen1 --size "$SIZE" --path "$WORK/pseudo" \
     --soft --weight "$WORK/runs/teacher/ckpt_last" \
     --steps "$STEPS_STUDENT" --batch-size "$BATCH" --seq-len "$SEQ_LEN" --lr 5e-4 \
     --ckpt-every-min "$CKPT_MIN" --auto-resume \
@@ -107,7 +111,7 @@ mark_done 5; fi
 
 if done_stage 6; then echo "== 6. student eval == (done, skip)"; else
 echo "== 6. student eval =="
-python cli/val.py --dataset gen1 --size tiny --path "$WORK/data" --split val \
+python cli/val.py --dataset gen1 --size "$SIZE" --path "$WORK/data" --split val \
     --seq-len "$SEQ_LEN" --ckpt "$WORK/runs/student/ckpt_last" $CPU_FLAG \
     | tee "$WORK/student_eval.json"
 mark_done 6; fi

@@ -201,6 +201,99 @@ def test_engine_eviction_resets(setup):
     np.testing.assert_allclose(d_back, want, rtol=1e-5, atol=1e-6)
 
 
+def test_engine_eviction_churn_consistency(setup):
+    """Concurrent clients exceeding the slot count (eviction churn):
+    every result must equal the cold-chain run of that stream's frames
+    since its last reset — verifying slot isolation, reset placement,
+    and state continuity under concurrent LRU eviction (VERDICT r4
+    item 5). The step inputs are logged and replayed per stream."""
+    import threading
+
+    cfg, det, variables = setup
+    B = 2
+    S, R = 5, 4                    # 5 streams x 4 rounds over 2 slots
+    raw_step = jax.jit(make_serve_step(det, variables))
+    shape = serve_input_shape(cfg, 1, fold=False)[1:]
+    frames = _frames(cfg, 1, S * R, seed=6)[:, 0]
+    # tag each frame so logged step inputs identify it
+    for i in range(S * R):
+        frames[i, 0, 0, 0] = i % 251
+        frames[i, 0, 0, 1] = i // 251
+
+    log = []
+
+    def logging_step(states, ev, reset, active):
+        log.append((np.asarray(ev).copy(), np.asarray(reset).copy(),
+                    np.asarray(active).copy()))
+        return raw_step(states, ev, reset, active)
+
+    engine = ServingEngine(logging_step, det.init_states(B), shape,
+                           max_wait_ms=1.0)
+    results = {}
+    errors = []
+    barrier = threading.Barrier(S)
+
+    def client(s):
+        try:
+            for r in range(R):
+                barrier.wait(30)
+                results[(s, r)] = engine.detect(f"s{s}", frames[r * S + s])
+        except BaseException as e:              # surface in main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=client, args=(s,)) for s in range(S)]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(120)
+    finally:
+        engine.close()
+    assert not errors, errors
+    assert len(results) == S * R
+
+    # replay: walk the log, maintain the frame chain each slot carries
+    # since its last reset, and check every request against a cold run
+    # of exactly that chain
+    def frame_id(ev_row):
+        return int(ev_row[0, 0, 0]) + 251 * int(ev_row[0, 0, 1])
+
+    expected = {}
+    chains = {slot: [] for slot in range(B)}
+    resets = 0
+    for ev, reset, active in log:
+        for slot in range(B):
+            if not active[slot]:
+                continue
+            fid = frame_id(ev[slot])
+            if reset[slot]:
+                chains[slot] = [fid]
+                resets += 1
+            else:
+                chains[slot].append(fid)
+            expected[fid] = list(chains[slot])
+    # churn happened: with 5 streams over 2 slots, far more resets than
+    # the S first-admissions
+    assert resets > S, resets
+
+    for (s, r), got in results.items():
+        chain = expected[r * S + s]
+        # the engine must never have continued a stream across frames
+        # that aren't the stream's own, in order
+        own = [rr * S + s for rr in range(r + 1)]
+        assert chain == own[-len(chain):], (s, r, chain)
+        states = det.init_states(B)
+        active = jnp.array([True] + [False] * (B - 1))
+        ev = np.zeros((B,) + shape, np.uint8)
+        for fid in chain:
+            ev[0] = frames[fid]
+            states, dets, valid = raw_step(states, jnp.asarray(ev),
+                                           jnp.zeros(B, bool), active)
+        want = np.asarray(dets)[0][np.asarray(valid)[0]]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
+                                   err_msg=f"stream {s} round {r}")
+
+
 def test_engine_rejects_bad_frame(setup):
     cfg, det, variables = setup
     step = jax.jit(make_serve_step(det, variables))

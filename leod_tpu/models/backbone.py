@@ -86,6 +86,25 @@ class RVTStage(nn.Module):
                     dim_head=c.dim_head, act=c.mlp_act, gated=c.mlp_gated,
                     eps=c.norm_eps)
             return x
+        from .layers import _ATTN_TOKENS
+        if _ATTN_TOKENS and not self.is_initializing():
+            # token-layout-persistent pairs: partition once, run each
+            # whole block in [N, T, C], and relayout window->grid with
+            # two ADJACENT transposes XLA can collapse (layers.py
+            # _ATTN_TOKENS). Exact: every op between partitions is
+            # per-token.
+            from .layers import (grid_partition, grid_reverse,
+                                 window_partition, window_reverse)
+            ph, pw = self.cfg.partition_size
+            b, h, w, _ = x.shape
+            for i in range(self.num_blocks):
+                t = window_partition(x, ph, pw)
+                t = self.blocks[2 * i](t, tokens=True)
+                y = window_reverse(t, ph, pw, h, w)
+                t = grid_partition(y, ph, pw)
+                t = self.blocks[2 * i + 1](t, tokens=True)
+                x = grid_reverse(t, ph, pw, h, w)
+            return x
         for blk in self.blocks:
             x = blk(x)
         return x

@@ -34,6 +34,15 @@ def get_act(name: str) -> Callable:
 # (no materialized partition transposes); flipped by benchmarking only
 import os as _os
 _ATTN_6D = _os.environ.get("LEOD_ATTN_6D", "0") == "1"
+# experiment flag: token-layout-persistent block pairs — the WHOLE block
+# (norm/attn/LayerScale/residual/MLP) runs in partitioned token layout
+# [N, T, C] so the only ops between a block's un-partition and the next
+# block's partition are the two adjacent transposes themselves, which
+# XLA can then collapse (today real compute sits between them and all 4
+# transposes per pair materialize — trace r3: ~0.37 ms/step). LN, MLP,
+# LayerScale and residuals are per-token, so the reordering is exact
+# (tests/test_fused_attention.py). Benchmark-gated like LEOD_ATTN_6D.
+_ATTN_TOKENS = _os.environ.get("LEOD_ATTN_TOKENS", "0") == "1"
 
 
 def window_partition(x: jnp.ndarray, wh: int, ww: int) -> jnp.ndarray:
@@ -163,8 +172,7 @@ class PartitionAttention(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        b, h, w, c = x.shape
+    def __call__(self, x: jnp.ndarray, tokens: bool = False) -> jnp.ndarray:
         ph, pw = self.partition_size
 
         def ls(name):
@@ -174,11 +182,26 @@ class PartitionAttention(nn.Module):
                 self.ls_init_value), (self.dim,))
             return lambda y: y * gamma.astype(y.dtype)
 
+        attn = SelfAttention(self.dim, self.dim_head, self.attention_bias,
+                             dtype=self.dtype, name="attn")
+        if tokens:
+            # x is ALREADY partitioned [N, T, C] for this block's
+            # partition type; the whole block is per-token so no
+            # partition/reverse happens here (caller owns the layout)
+            shortcut = x
+            y = x if self.skip_first_norm else nn.LayerNorm(
+                epsilon=self.norm_eps, dtype=self.dtype, name="norm1")(x)
+            x = shortcut + ls("ls1")(attn(y))
+            y = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype,
+                             name="norm2")(x)
+            y = MLP(self.dim, self.mlp_ratio, self.mlp_act, self.mlp_gated,
+                    self.mlp_bias, dtype=self.dtype, name="mlp")(y)
+            return x + ls("ls2")(y)
+
+        b, h, w, c = x.shape
         shortcut = x
         y = x if self.skip_first_norm else nn.LayerNorm(
             epsilon=self.norm_eps, dtype=self.dtype, name="norm1")(x)
-        attn = SelfAttention(self.dim, self.dim_head, self.attention_bias,
-                             dtype=self.dtype, name="attn")
         if _ATTN_6D:
             # free 6-D view; the einsum path materializes no partition
             # transposes (see SelfAttention docstring)

@@ -89,6 +89,39 @@ def test_fused_stage_matches_flax_backbone():
                                    rtol=2e-5, atol=2e-5)
 
 
+def test_attention_tokens_mode_matches_default():
+    """Token-layout-persistent block pairs (LEOD_ATTN_TOKENS,
+    layers.py/backbone.py): the whole block runs in partitioned [N,T,C]
+    with one window->grid relayout per pair. Every reordered op is
+    per-token, so the full backbone (features AND LSTM states) must
+    match the default path exactly."""
+    import leod_tpu.models.layers as ly
+    from leod_tpu.config import BackboneConfig
+    from leod_tpu.models.backbone import RVTBackbone, init_states
+
+    cfg = BackboneConfig(embed_dim=32, in_res_hw=(64, 96),
+                         partition_size=(2, 3))
+    bb = RVTBackbone(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 64, 96, 20)).astype(np.float32) * 3)
+    states = init_states(cfg, 2, jnp.float32)
+    v = bb.init(jax.random.PRNGKey(0), x, states)
+    f_ref, st_ref = bb.apply(v, x, states)
+    old = ly._ATTN_TOKENS
+    ly._ATTN_TOKENS = True
+    try:
+        f_tok, st_tok = bb.apply(v, x, states)
+    finally:
+        ly._ATTN_TOKENS = old
+    for s in f_ref:
+        np.testing.assert_allclose(np.asarray(f_tok[s]),
+                                   np.asarray(f_ref[s]),
+                                   rtol=1e-6, atol=1e-6, err_msg=str(s))
+    for (h1, c1), (h2, c2) in zip(st_tok, st_ref):
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(h2),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_attention_6d_einsum_matches_partition():
     """The 6-D einsum attention form (SelfAttention token_axes) is
     numerically identical to the explicit-partition path. MEASURED

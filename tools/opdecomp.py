@@ -10,10 +10,17 @@ bandwidth-saturated) — so it could not prove where the workload sits
 
   1. Compile the exact benched program and parse its optimized HLO:
      for every instruction, TRUE HBM bytes = operand buffers read +
-     output buffers written. At fusion granularity this IS the traffic
-     XLA:TPU moves — fusion outputs materialize in HBM, VMEM reuse
-     happens only inside a fusion. (Unpadded shape sizes; TPU tile
-     padding makes small ops slightly bigger, noted per row.)
+     output buffers written, where (a) buffers XLA's memory-space
+     assignment pinned in VMEM (layout `S(1)`) count ZERO — on v5e
+     (128 MiB VMEM) MSA keeps most inter-fusion activations of this
+     model on-chip, which is exactly why cost-analysis "bytes accessed"
+     overcounted 3-8x; (b) a fusion operand consumed only through
+     (nested) slices is charged the slice size, not the buffer size.
+     (Unpadded shape sizes.) FLOPs honor conv dim_labels, lhs_dilation
+     holes, and lhs-extent tap caps (XLA writes einsums as degenerate
+     convolutions); the per-window total cross-checks against the
+     independently calibrated unrolled-lowering count (tools/mfu.py)
+     to within 2%.
   2. Capture a device trace of the same program and join per-op
      durations with those bytes by HLO instruction name.
   3. Per op: bandwidth-limited time = bytes / measured HBM ceiling
@@ -55,15 +62,20 @@ _DTYPE_BYTES = {
 }
 
 _SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+_SHAPE_LAYOUT_RE = re.compile(r"(\w+)\[([\d,]*)\](\{[^}]*\})?")
 
 
-def shape_bytes(shape_str: str) -> int:
+def shape_bytes(shape_str: str, hbm_only: bool = False) -> int:
     """Total bytes of an HLO shape string (handles tuples by summing
     every 'dtype[dims]' occurrence). Layout/tiling annotations are
-    ignored: unpadded lower bound."""
+    ignored for sizing (unpadded lower bound) — but with hbm_only=True
+    a component whose layout carries S(1) (memory space 1 = VMEM
+    scoped buffer, pinned on-chip by XLA:TPU) counts ZERO HBM traffic."""
     total = 0
-    for dtype, dims in _SHAPE_RE.findall(shape_str):
+    for dtype, dims, layout in _SHAPE_LAYOUT_RE.findall(shape_str):
         if dtype not in _DTYPE_BYTES:
+            continue
+        if hbm_only and layout and "S(1)" in layout:
             continue
         n = 1
         for d in dims.split(","):
@@ -77,28 +89,44 @@ def shape_bytes(shape_str: str) -> int:
 # (bf16[2,3]{1,0:T(8,128)(2,1)}, f32[4]) — allow one nesting level
 _TUPLE = r"\((?:[^()]|\([^()]*\))*\)"
 _INSTR_RE = re.compile(
-    rf"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*({_TUPLE}|\S+)\s+(\w+)")
+    rf"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*({_TUPLE}|\S+)\s+([\w-]+)")
 _OPERAND_RE = re.compile(r"%([\w.\-]+)")
 
 
-def parse_hlo(hlo_text: str):
-    """name -> {shape_bytes, op_kind, operands[], dot_flops}.
+_SLICE_KINDS = ("slice", "dynamic-slice", "gather")
 
-    Two-pass: collect every instruction's output shape, then charge each
-    instruction its operands' output bytes + its own. For fusions, FLOPs
-    of the fused computation's dots/convs are attributed to the fusion
-    instruction (convolution FLOPs are estimated from output size x
-    2 x kernel-elements x input-channels when the kernel shape is
-    visible on the conv line)."""
+
+def parse_hlo(hlo_text: str):
+    """name -> {out_bytes, in_bytes, kind, flops} per instruction.
+
+    Bytes are TRUE per-call HBM traffic at fusion granularity:
+    - a fusion's operand that is consumed ONLY through slice /
+      dynamic-slice ops inside the fused computation is charged the
+      slice output size, not the full buffer (e.g. the per-timestep
+      dynamic-slice of the whole event window inside the scan body —
+      charging the full 525 MB operand per call implied 3x the physical
+      bandwidth, round-5 bug fix);
+    - top-level slice/dynamic-slice/gather charge their output size;
+    - dynamic-update-slice is in-place on TPU: read update + write the
+      updated region (2x update bytes), not the full buffer.
+
+    FLOPs: dot FLOPs = 2*prod(out)*contracted; convolution FLOPs honor
+    dim_labels (the kernel's non-'o' dims — XLA:TPU writes einsums as
+    convolutions whose kernel layout is arbitrary, e.g. `io01`; the old
+    all-but-last-dim guess overcounted the LSTM-gate GEMM 256x).
+    Fusion FLOPs recurse through nested fusions in the called
+    computation."""
     out_shape = {}
     lines = hlo_text.splitlines()
     instrs = []
     comp_of_fusion = {}
     current_comp = None
     comp_instrs = collections.defaultdict(list)
+    comp_params = collections.defaultdict(dict)   # comp -> idx -> name
     for ln in lines:
         m = re.match(r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=", ln)
-        comp_m = re.match(r"^\s*%?([\w.\-]+)\s*\((.*?)\)\s*->", ln)
+        comp_m = re.match(r"^\s*(?:ENTRY\s+)?%?([\w.\-]+)\s*\((.*?)\)\s*->",
+                          ln)
         if comp_m and " = " not in ln.split("->")[0]:
             current_comp = comp_m.group(1)
             continue
@@ -109,27 +137,30 @@ def parse_hlo(hlo_text: str):
             continue
         name, shape_str, kind = im.groups()
         out_shape[name] = shape_str
-        instrs.append((name, shape_str, kind, ln))
+        instrs.append((name, shape_str, kind, ln, current_comp))
         comp_instrs[current_comp].append((name, kind, ln))
+        if kind == "parameter":
+            pm = re.search(r"parameter\((\d+)\)", ln)
+            if pm:
+                comp_params[current_comp][int(pm.group(1))] = name
         fm = re.search(r"calls=%?([\w.\-]+)", ln)
         if fm and kind == "fusion":
             comp_of_fusion[name] = fm.group(1)
-    ops = {}
-    for name, shape_str, kind, ln in instrs:
-        # operand list = the parenthesized args after the op kind
+
+    def op_operands(kind, ln):
         args_m = re.search(r"\b" + re.escape(kind) + r"\((.*?)\)(?:,|$)", ln)
-        operands = []
-        if args_m:
-            operands = [o for o in _OPERAND_RE.findall(args_m.group(1))
-                        if o in out_shape]
-        in_bytes = sum(shape_bytes(out_shape[o]) for o in operands)
-        ops[name] = {
-            "out_bytes": shape_bytes(shape_str),
-            "in_bytes": in_bytes,
-            "kind": kind,
-            "flops": 0.0,
-        }
-    # attribute dot/conv FLOPs inside fused computations to their fusion
+        if not args_m:
+            return []
+        return [o for o in _OPERAND_RE.findall(args_m.group(1))
+                if o in out_shape]
+
+    # users of each instruction WITHIN its computation (for the
+    # slice-aware fusion-operand accounting)
+    comp_users = collections.defaultdict(list)     # (comp, name) -> kinds+lns
+    for name, shape_str, kind, ln, comp in instrs:
+        for o in op_operands(kind, ln):
+            comp_users[(comp, o)].append((kind, ln))
+
     def instr_flops(kind, ln):
         if kind == "dot":
             return dot_flops(ln, out_shape)
@@ -137,16 +168,83 @@ def parse_hlo(hlo_text: str):
             return conv_flops(ln, out_shape)
         return 0.0
 
-    direct = {c: sum(instr_flops(k, ln) for _, k, ln in il)
-              for c, il in comp_instrs.items()}
-    # fusions may nest (fusion calling a computation containing fusions
-    # is rare post-optimization; one level is enough in practice)
-    for name, comp in comp_of_fusion.items():
-        ops[name]["flops"] = direct.get(comp, 0.0)
-    for name, info in ops.items():
-        if info["kind"] in ("dot", "convolution") and not info["flops"]:
-            ln = next(l for n, s, k, l in instrs if n == name)
-            info["flops"] = instr_flops(info["kind"], ln)
+    _flops_memo = {}
+
+    def comp_flops(c):
+        if c in _flops_memo:
+            return _flops_memo[c]
+        _flops_memo[c] = 0.0                       # cycle guard
+        total = 0.0
+        for _, kind, ln in comp_instrs.get(c, ()):
+            if kind in ("dot", "convolution"):
+                total += instr_flops(kind, ln)
+            elif kind == "fusion":
+                fm = re.search(r"calls=%?([\w.\-]+)", ln)
+                if fm:
+                    total += comp_flops(fm.group(1))
+        _flops_memo[c] = total
+        return total
+
+    def param_read_bytes(comp, pidx, full, depth=0):
+        """Bytes actually read from a fusion operand: follow the
+        computation's parameter through slices and NESTED fusion calls
+        (nested fusions run inside the same kernel — the stem fusion
+        reads the whole u8 event window through a nested kLoop fusion
+        containing the per-timestep dynamic-slice)."""
+        if depth > 4:
+            return full
+        pname = comp_params.get(comp, {}).get(pidx)
+        users = comp_users.get((comp, pname), []) if pname else []
+        if not users:
+            return full
+        total = 0
+        for kind, uln in users:
+            if kind in _SLICE_KINDS:
+                um = _INSTR_RE.match(uln)
+                if not um:
+                    return full
+                total += shape_bytes(um.group(2))
+            elif kind == "fusion":
+                fm = re.search(r"calls=%?([\w.\-]+)", uln)
+                if not fm:
+                    return full
+                sub = fm.group(1)
+                uops = op_operands("fusion", uln)
+                for uidx, uo in enumerate(uops):
+                    if uo == pname:
+                        total += param_read_bytes(sub, uidx, full,
+                                                  depth + 1)
+            else:
+                return full
+        return min(full, total)
+
+    def fusion_in_bytes(name, ln, comp):
+        # operands whose buffer is VMEM-pinned (S(1)) move no HBM bytes
+        operands = op_operands("fusion", ln)
+        return sum(
+            param_read_bytes(comp, idx,
+                             shape_bytes(out_shape[o], hbm_only=True))
+            for idx, o in enumerate(operands))
+
+    ops = {}
+    for name, shape_str, kind, ln, comp in instrs:
+        out_bytes = shape_bytes(shape_str, hbm_only=True)
+        if kind == "fusion" and name in comp_of_fusion:
+            in_bytes = fusion_in_bytes(name, ln, comp_of_fusion[name])
+            flops = comp_flops(comp_of_fusion[name])
+        elif kind in _SLICE_KINDS:
+            in_bytes, flops = out_bytes, 0.0
+        elif kind == "dynamic-update-slice":
+            operands = op_operands(kind, ln)
+            upd = (shape_bytes(out_shape[operands[1]], hbm_only=True)
+                   if len(operands) > 1 else out_bytes)
+            in_bytes, out_bytes, flops = upd, upd, 0.0
+        else:
+            in_bytes = sum(shape_bytes(out_shape[o], hbm_only=True)
+                           for o in op_operands(kind, ln))
+            flops = instr_flops(kind, ln)
+        ops[name] = {"out_bytes": out_bytes, "in_bytes": in_bytes,
+                     "kind": kind, "flops": flops}
     return ops
 
 
@@ -178,23 +276,51 @@ def dot_flops(ln, out_shape):
 
 
 def conv_flops(ln, out_shape):
-    """2 * prod(output) * kernel spatial elements * in_channels
-    (groups folded in via kernel input-feature dim)."""
+    """2 * prod(output) * prod(kernel non-output dims). The kernel's
+    dim meaning comes from dim_labels (lhs_kernel->out, e.g.
+    `01bf_io01->01bf`): every kernel dim whose label is not 'o'
+    (spatial taps + input features, groups folded into 'i') multiplies
+    the per-output-element MAC count."""
     im = _INSTR_RE.match(ln)
     if not im:
         return 0.0
     out_dims = _dims(im.group(2))
     ops = _OPERAND_RE.findall(ln.split(im.group(3) + "(", 1)[-1])
-    if len(ops) < 2 or ops[1] not in out_shape:
+    dl = re.search(r"dim_labels=(\w+)_(\w+)->", ln)
+    if len(ops) < 2 or ops[1] not in out_shape or dl is None:
         return 0.0
-    k_dims = _dims(out_shape[ops[1]])  # kernel: spatial... + [in_f, out_f]
-    if not k_dims:
+    k_dims = _dims(out_shape[ops[1]])
+    lhs_label, k_label = dl.groups()
+    lhs_dims = _dims(out_shape.get(ops[0], ""))
+    if len(k_dims) != len(k_label):
         return 0.0
+    # XLA writes batched einsums as convolutions with degenerate
+    # windows; charging every kernel tap overcounts MACs by orders of
+    # magnitude. Two corrections per spatial dim:
+    #  - lhs_dilation inserts holes between input elements — taps on
+    #    holes carry no MACs: taps = ceil(kernel_extent / dilation)
+    #    (the q.kT / attn.v base-dilated einsums);
+    #  - a tap must hit a distinct lhs position, so taps <= lhs spatial
+    #    extent (the proj einsum: window size 80 + pad 79_79 over an
+    #    lhs extent of ONE — a single valid tap per output element).
+    ld = re.search(r"lhs_dilate=([\dx]+)", ln)
+    dilate = ([int(v) for v in ld.group(1).split("x")] if ld else [])
+    lhs_extent = {}
+    for d, ch in zip(lhs_dims, lhs_label):
+        if ch.isdigit():
+            lhs_extent[ch] = d
     n = 1
     for d in out_dims:
         n *= d
     k = 1
-    for d in k_dims[:-1]:              # all but output-feature dim
+    for d, ch in zip(k_dims, k_label):
+        if ch == "o":
+            continue
+        if ch.isdigit():
+            di = int(ch)
+            if di < len(dilate) and dilate[di] > 1:
+                d = -(-d // dilate[di])
+            d = min(d, lhs_extent.get(ch, d))
         k *= d
     return 2.0 * n * k
 
@@ -246,6 +372,16 @@ def main():
         us_iter = us / iters
         t_bw_us = bytes_per * n_iter / HBM_GBPS / 1e3
         t_mxu_us = info["flops"] * n_iter / MXU_TFLOPS / 1e6
+        if t_mxu_us >= t_bw_us and t_mxu_us >= 0.5 * us_iter:
+            bound = "mxu"
+        elif t_bw_us >= 0.5 * us_iter:
+            bound = "hbm"
+        elif bytes_per == 0 and info["flops"] == 0:
+            # operands AND outputs VMEM-pinned (S(1)), no MXU work:
+            # VPU/layout work on on-chip data — no HBM roof applies
+            bound = "vmem"
+        else:
+            bound = "overhead"
         rows.append({
             "op": name,
             "kind": info["kind"],
@@ -256,9 +392,7 @@ def main():
             "bw_us": t_bw_us,
             "mxu_us": t_mxu_us,
             "overhead_us": max(0.0, us_iter - max(t_bw_us, t_mxu_us)),
-            "bound": ("mxu" if t_mxu_us >= t_bw_us and
-                      t_mxu_us >= 0.5 * us_iter else
-                      "bw" if t_bw_us >= 0.5 * us_iter else "overhead"),
+            "bound": bound,
         })
     rows.sort(key=lambda r: -r["us_per_iter"])
 
@@ -272,7 +406,10 @@ def main():
     for r in rows:
         by_bound[r["bound"]] += r["us_per_iter"]
 
-    frames = steps // iters
+    B = int(os.environ.get(
+        "PROF_BATCH",
+        "8" if os.environ.get("PROF_MODE", "infer") == "train" else "16"))
+    frames = (steps // iters) * B
     print(f"\n== per-iteration totals ({frames} frames/iter) ==")
     print(f"device op time     : {total_us / 1e3:9.3f} ms "
           f"(+ {unmatched_us / iters / 1e3:.3f} ms unmatched trace rows)")

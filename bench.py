@@ -603,11 +603,18 @@ def _train_throughput(cfg, det, variables=None, iters: int = 4):
     AdamW + remat scan) so backward/scan-path perf regressions are
     visible round over round (BENCH_TRAIN=0 skips)."""
     import jax
+    import jax.numpy as jnp
 
     from leod_tpu.train.step import make_train_step
 
     B = 8
     L = cfg.dataset.sequence_length
+    # donate_argnums=(0,) below frees the whole train state INCLUDING
+    # its param arrays, and TrainState aliases the caller's `variables`
+    # tree — the riders that run after this section still need those
+    # buffers, so the train state gets its own copy
+    if variables is not None:
+        variables = jax.tree.map(jnp.copy, variables)
     state, batch, optimizer = build_train_setup(cfg, det, B=B,
                                                 variables=variables)
     train_step = make_train_step(

@@ -34,15 +34,18 @@ def get_act(name: str) -> Callable:
 # (no materialized partition transposes); flipped by benchmarking only
 import os as _os
 _ATTN_6D = _os.environ.get("LEOD_ATTN_6D", "0") == "1"
-# experiment flag: token-layout-persistent block pairs — the WHOLE block
+# token-layout-persistent block pairs (DEFAULT ON) — the WHOLE block
 # (norm/attn/LayerScale/residual/MLP) runs in partitioned token layout
 # [N, T, C] so the only ops between a block's un-partition and the next
 # block's partition are the two adjacent transposes themselves, which
-# XLA can then collapse (today real compute sits between them and all 4
-# transposes per pair materialize — trace r3: ~0.37 ms/step). LN, MLP,
-# LayerScale and residuals are per-token, so the reordering is exact
-# (tests/test_fused_attention.py). Benchmark-gated like LEOD_ATTN_6D.
-_ATTN_TOKENS = _os.environ.get("LEOD_ATTN_TOKENS", "0") == "1"
+# XLA collapses (on the classic path real compute sits between them and
+# all 4 transposes per pair materialize — trace r3: ~0.37 ms/step). LN,
+# MLP, LayerScale and residuals are per-token, so the reordering is
+# exact (tests/test_fused_attention.py). Measured round 5 on the chip:
+# gen1 inference 5,788->6,691 f/s (+15.6%), gen1 train 1,047->1,246,
+# gen4 inference 1,251->1,440, gen4 train 275->329 (docs/benchmarks.md).
+# LEOD_ATTN_TOKENS=0 restores the per-block partition path.
+_ATTN_TOKENS = _os.environ.get("LEOD_ATTN_TOKENS", "1") == "1"
 
 
 def window_partition(x: jnp.ndarray, wh: int, ww: int) -> jnp.ndarray:

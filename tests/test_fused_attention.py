@@ -106,10 +106,14 @@ def test_attention_tokens_mode_matches_default():
     x = jnp.asarray(rng.normal(size=(2, 64, 96, 20)).astype(np.float32) * 3)
     states = init_states(cfg, 2, jnp.float32)
     v = bb.init(jax.random.PRNGKey(0), x, states)
-    f_ref, st_ref = bb.apply(v, x, states)
     old = ly._ATTN_TOKENS
-    ly._ATTN_TOKENS = True
     try:
+        # pin both sides explicitly: the token path is the DEFAULT now,
+        # so the classic per-block partition path is the one that needs
+        # forcing for the reference side
+        ly._ATTN_TOKENS = False
+        f_ref, st_ref = bb.apply(v, x, states)
+        ly._ATTN_TOKENS = True
         f_tok, st_tok = bb.apply(v, x, states)
     finally:
         ly._ATTN_TOKENS = old

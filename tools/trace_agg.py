@@ -29,6 +29,12 @@ import jax.numpy as jnp
 if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+# the train-step compile at recipe scale is tens of minutes over the
+# tunnel; persist it so an interrupted capture doesn't pay it twice
+from leod_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def capture(out_dir: str):
     import bench
